@@ -1,0 +1,279 @@
+"""Host-side latent dataset: variable-aspect VAE latents -> packed token
+sequences with RoPE tables and validity masks.
+
+Capability parity with the reference data layer
+(``/root/reference/FiT/preprocess/iterators.py:80-185`` and the masked
+variant ``masked_FiT/preprocess/iterators.py:141-190``), redesigned for a
+JAX host pipeline:
+
+* pure numpy end to end (no torch in the loader); batches are contiguous
+  numpy arrays handed straight to the device put / sharding layer;
+* per-sample RoPE tables are **memoized by grid shape** — the reference
+  recomputes ``precompute_freqs_cis_2d`` per item per epoch, which its own
+  profiling harness (``masked_FiT/test.py``) shows dominates loader time;
+  the table depends only on (nh, nw), of which a dataset has a few dozen;
+* both packing modes live here: ``pad`` (every sample padded to the fixed
+  ``max_length`` budget — FiT tree) and ``bucket`` (per-batch random token
+  budget from a fixed set, with token subsampling — masked_FiT tree). The
+  bucket set is static so each budget compiles exactly one program;
+* deterministic, seedable, and shardable across hosts (``shard_id`` /
+  ``num_shards``) — the TPU-native replacement for DataLoader workers + DDP
+  samplers.
+
+Known reference defects intentionally not replicated (SURVEY.md §7): the
+``ext.lower() in ".npy"`` substring check (accepts "", ".", "np", ...;
+here an exact extension match), and the silently-overridden ``embed_dim``
+config key (here ``head_dim`` is an explicit required parameter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fit_tpu.core.geometry import patchify_np
+from fit_tpu.core.pos_embed import rope_freqs_2d, sincos_2d
+
+__all__ = [
+    "LatentExample",
+    "LatentFolderDataset",
+    "pad_batch",
+    "bucket_batch",
+    "LatentLoader",
+    "TOKEN_BUCKETS",
+]
+
+# masked_FiT per-batch token budgets (masked_FiT/preprocess/iterators.py:158)
+TOKEN_BUCKETS = (32, 64, 96, 128, 192, 256)
+
+_LATENT_EXTS = (".npy", ".pt")
+
+
+@dataclasses.dataclass
+class LatentExample:
+    """One packed sample before batching."""
+
+    tokens: np.ndarray  # (T_i, p*p*C) float32
+    pos: np.ndarray  # (T_i, pos_dim) float32
+    label: int
+    h: int  # latent height
+    w: int  # latent width
+
+
+def _load_latent(path: str) -> np.ndarray:
+    """Load a (C, H, W) latent from .npy (fp16/fp32) or .pt (torch tensor —
+    the reference ships its sample latents as .pt; see SURVEY.md §0)."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".pt"):
+        import torch  # torch-cpu, only for decoding the shipped sample files
+
+        return torch.load(path, map_location="cpu", weights_only=True).numpy().astype(np.float32)
+    raise ValueError(f"unsupported latent file: {path}")
+
+
+class LatentFolderDataset:
+    """Walks ``root/<class_dir>/<latent files>`` and serves packed samples.
+
+    Labels are the sorted-dense mapping of class directory names (reference
+    ``iterators.py:111-115``).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        patch_size: int = 2,
+        sample_size: int = 256,
+        vae_scale: int = 8,
+        channels: int = 4,
+        head_dim: int = 64,
+        embed_method: str = "rotate",  # "rotate" (RoPE) | "absolute" (sincos)
+        hidden_size: Optional[int] = None,  # required for embed_method="absolute"
+        hflip: bool = True,
+    ) -> None:
+        self.patch_size = patch_size
+        self.vae_scale = vae_scale
+        self.channels = channels
+        self.head_dim = head_dim
+        self.embed_method = embed_method
+        self.hidden_size = hidden_size
+        self.hflip = hflip
+        # token budget: sample_size^2 / patch^2 / vae_scale^2 (iterators.py:89)
+        self.max_length = (sample_size // patch_size // vae_scale) ** 2
+        self.pos_dim = head_dim if embed_method == "rotate" else hidden_size
+        if embed_method == "absolute" and hidden_size is None:
+            raise ValueError("absolute embedding needs hidden_size")
+
+        self.entries: List[Tuple[str, str]] = []  # (path, class_name)
+        for dirpath, _, filenames in os.walk(root):
+            for f in filenames:
+                if os.path.splitext(f)[1].lower() in _LATENT_EXTS:
+                    self.entries.append((os.path.join(dirpath, f), os.path.basename(dirpath)))
+        if not self.entries:
+            raise RuntimeError(f"no latent files found under `{root}`")
+        self.entries.sort(key=lambda e: e[0])
+        classes = sorted({c for _, c in self.entries})
+        self.label_mapping: Dict[str, int] = {c: i for i, c in enumerate(classes)}
+        self._pos_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _pos_table(self, nh: int, nw: int) -> np.ndarray:
+        key = (nh, nw)
+        tab = self._pos_cache.get(key)
+        if tab is None:
+            if self.embed_method == "rotate":
+                # training tables never use VisionNTK (iterators.py:136)
+                tab = rope_freqs_2d(self.head_dim, nh, nw).astype(np.float32)
+            else:
+                tab = sincos_2d(self.hidden_size, nh, nw).astype(np.float32)
+            self._pos_cache[key] = tab
+        return tab
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> LatentExample:
+        path, cls = self.entries[idx]
+        latent = _load_latent(path)
+        _, h, w = latent.shape
+        if self.hflip and rng is not None and rng.random() < 0.5:
+            # latent-domain horizontal flip (iterators.py:120-125)
+            latent = latent[..., ::-1]
+        tokens = patchify_np(np.ascontiguousarray(latent), self.patch_size)
+        pos = self._pos_table(h // self.patch_size, w // self.patch_size)
+        return LatentExample(
+            tokens=tokens.astype(np.float32),
+            pos=pos,
+            label=self.label_mapping[cls],
+            h=h,
+            w=w,
+        )
+
+
+# ---------------------------------------------------------------------------
+# batching modes
+# ---------------------------------------------------------------------------
+
+
+def pad_batch(
+    items: Sequence[LatentExample], max_length: int
+) -> Dict[str, np.ndarray]:
+    """FiT-style batch: every sample zero-padded to the fixed token budget
+    (reference ``iterators.py:153-166``). Returns arrays
+    ``tokens (B,T,D) / pos (B,T,P) / mask (B,T) / label (B,) / h,w (B,)``.
+    """
+    b = len(items)
+    d_tok = items[0].tokens.shape[1]
+    d_pos = items[0].pos.shape[1]
+    tokens = np.zeros((b, max_length, d_tok), np.float32)
+    pos = np.zeros((b, max_length, d_pos), np.float32)
+    mask = np.zeros((b, max_length), bool)
+    label = np.zeros((b,), np.int32)
+    hs = np.zeros((b,), np.int32)
+    ws = np.zeros((b,), np.int32)
+    for i, it in enumerate(items):
+        t = min(it.tokens.shape[0], max_length)
+        tokens[i, :t] = it.tokens[:t]
+        pos[i, :t] = it.pos[:t]
+        mask[i, :t] = True
+        label[i] = it.label
+        hs[i] = it.h
+        ws[i] = it.w
+    return {"tokens": tokens, "pos": pos, "mask": mask, "label": label, "h": hs, "w": ws}
+
+
+def bucket_batch(
+    items: Sequence[LatentExample],
+    rng: np.random.Generator,
+    buckets: Sequence[int] = TOKEN_BUCKETS,
+) -> Dict[str, np.ndarray]:
+    """masked_FiT-style batch: one random token budget per batch; samples
+    with more tokens are randomly *subsampled* (a random permutation's first
+    n tokens, with pos/mask permuted consistently), shorter ones padded
+    (reference ``masked_FiT/preprocess/iterators.py:142-170``).
+    """
+    n = int(rng.choice(buckets))
+    b = len(items)
+    d_tok = items[0].tokens.shape[1]
+    d_pos = items[0].pos.shape[1]
+    tokens = np.zeros((b, n, d_tok), np.float32)
+    pos = np.zeros((b, n, d_pos), np.float32)
+    mask = np.zeros((b, n), bool)
+    label = np.zeros((b,), np.int32)
+    for i, it in enumerate(items):
+        t = it.tokens.shape[0]
+        if t > n:
+            perm = rng.permutation(t)[:n]
+            tokens[i] = it.tokens[perm]
+            pos[i] = it.pos[perm]
+            mask[i] = True
+        else:
+            tokens[i, :t] = it.tokens
+            pos[i, :t] = it.pos
+            mask[i, :t] = True
+        label[i] = it.label
+    return {"tokens": tokens, "pos": pos, "mask": mask, "label": label}
+
+
+class LatentLoader:
+    """Deterministic, shardable batch iterator.
+
+    Each host iterates its shard of a globally-shuffled epoch permutation
+    (same seed everywhere -> disjoint shards), the TPU-native replacement for
+    torch DataLoader workers + a distributed sampler. ``mode`` selects the
+    packing: "pad" (FiT) or "bucket" (masked_FiT).
+    """
+
+    def __init__(
+        self,
+        dataset: LatentFolderDataset,
+        batch_size: int,
+        *,
+        mode: str = "pad",
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        buckets: Sequence[int] = TOKEN_BUCKETS,
+    ) -> None:
+        assert mode in ("pad", "bucket")
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.mode = mode
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.buckets = buckets
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        per_shard = len(self.ds) // self.num_shards
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return -(-per_shard // self.batch_size)
+
+    def epoch_batches(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self.epoch if epoch is None else epoch
+        rng = np.random.default_rng((self.seed, epoch))
+        order = (
+            rng.permutation(len(self.ds)) if self.shuffle else np.arange(len(self.ds))
+        )
+        shard = order[self.shard_id :: self.num_shards]
+        limit = (len(shard) // self.batch_size) * self.batch_size if self.drop_last else len(shard)
+        for start in range(0, limit, self.batch_size):
+            idxs = shard[start : start + self.batch_size]
+            items = [self.ds.__getitem__(int(i), rng=rng) for i in idxs]
+            if self.mode == "pad":
+                yield pad_batch(items, self.ds.max_length)
+            else:
+                yield bucket_batch(items, rng, self.buckets)
+        self.epoch = epoch + 1
+
+    def __iter__(self):
+        return self.epoch_batches()

@@ -1,0 +1,35 @@
+"""Model families: FiT (variable-length packed tokens) and DiT (square)."""
+
+from fit_tpu.models.dit import DiT, DiT_models, create_dit
+from fit_tpu.models.fit import FiT, FiT_models, create_fit
+from fit_tpu.models.layers import (
+    FinalLayer,
+    FiTBlock,
+    GeluMlp,
+    LabelEmbedder,
+    SelfAttention,
+    SwiGLU,
+    TimestepEmbedder,
+    apply_rope,
+    layer_norm_fp32,
+    modulate,
+)
+
+__all__ = [
+    "DiT",
+    "DiT_models",
+    "create_dit",
+    "FiT",
+    "FiT_models",
+    "create_fit",
+    "FinalLayer",
+    "FiTBlock",
+    "GeluMlp",
+    "LabelEmbedder",
+    "SelfAttention",
+    "SwiGLU",
+    "TimestepEmbedder",
+    "apply_rope",
+    "layer_norm_fp32",
+    "modulate",
+]

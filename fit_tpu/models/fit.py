@@ -1,0 +1,193 @@
+"""FiT: Flexible Vision Transformer for diffusion (arXiv:2402.12376), flax.
+
+Capability-equivalent rebuild of the reference denoiser
+(``/root/reference/FiT/models/fit.py:340-553``): a DiT-style latent-diffusion
+transformer over *packed variable-length token sequences* — variable-aspect
+latents are patchified to (T, p*p*C) tokens, zero-padded to a fixed budget,
+and attended with a validity mask and per-token 2D RoPE tables.
+
+TPU-first design decisions (vs. the torch reference):
+
+* stateless flax module over a params pytree; one ``jit``-traced function for
+  the whole forward — XLA fuses adaLN/modulate/residual chains into the
+  matmuls; the attention inner loop can run as a Pallas flash kernel that
+  skips padded key blocks (``fit_tpu.ops.attention``).
+* static shapes everywhere: the token budget ``T`` is fixed per compiled
+  function (bucketed shapes compile once each); geometry (h, w) enters only
+  through the host-built pos tables and masks.
+* label-dropout randomness is an explicit ``label_dropout`` PRNG collection
+  instead of ambient RNG.
+* compute dtype is a module attribute (bf16 for training parity with
+  Lightning's ``bf16-mixed``; fp32 for bit-parity tests); params stay fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fit_tpu.core.geometry import patchify, unpatchify
+from fit_tpu.models.layers import (
+    FinalLayer,
+    FiTBlock,
+    LabelEmbedder,
+    TimestepEmbedder,
+    default_kernel_init,
+)
+
+Array = jnp.ndarray
+
+__all__ = ["FiT", "FiT_models", "create_fit"]
+
+
+class FiT(nn.Module):
+    """The FiT denoiser.
+
+    Call signature (parity with reference ``fit.py:474-518``):
+
+    ``__call__(x, t, y, pos, mask, train)`` where
+      * ``x``: tokens ``(N, T, p*p*C)`` when ``train=True`` (the data
+        pipeline patchifies host-side), or a latent canvas ``(N, C, H, W)``
+        when ``train=False`` (patchified/unpatchified inside — the sampling
+        path).
+      * ``t``: ``(N,)`` diffusion timesteps, ``y``: ``(N,)`` class labels.
+      * ``pos``: ``(N, T, head_dim)`` RoPE tables (``pos_kind="rotate"``) or
+        ``(N, T, hidden)`` additive sincos tables (``pos_kind="absolute"``).
+      * ``mask``: ``(N, T)`` boolean token-validity mask.
+    """
+
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1
+    num_classes: int = 1000
+    learn_sigma: bool = False
+    ffn: str = "swiglu"
+    pos_kind: str = "rotate"  # "rotate" | "absolute"
+    attn_backend: str = "auto"
+    dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        t: Array,
+        y: Array,
+        pos: Array,
+        mask: Optional[Array] = None,
+        train: bool = True,
+    ) -> Array:
+        assert self.pos_kind in ("rotate", "absolute")
+        if not train:
+            _, _, h, w = x.shape
+            x = patchify(x, self.patch_size)
+
+        x = x.astype(self.dtype)
+        x = nn.Dense(
+            self.hidden_size,
+            kernel_init=default_kernel_init,
+            dtype=self.dtype,
+            name="x_embedder",
+        )(x)
+        if self.pos_kind == "absolute":
+            x = x + pos.astype(x.dtype)
+            freqs_cis = None
+        else:
+            freqs_cis = pos
+
+        t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(t)
+        y_emb = LabelEmbedder(
+            self.num_classes,
+            self.hidden_size,
+            self.class_dropout_prob,
+            dtype=self.dtype,
+            name="y_embedder",
+        )(y, train=train)
+        c = t_emb + y_emb
+
+        block_cls = nn.remat(FiTBlock) if self.remat else FiTBlock
+        for i in range(self.depth):
+            x = block_cls(
+                self.hidden_size,
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                ffn=self.ffn,
+                use_rope=self.pos_kind == "rotate",
+                attn_backend=self.attn_backend,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, c, mask, freqs_cis)
+
+        x = FinalLayer(
+            self.hidden_size, self.patch_size, self.out_channels, dtype=self.dtype, name="final"
+        )(x, c)
+        if not train:
+            x = unpatchify(x.astype(jnp.float32), h, w, self.patch_size, self.out_channels)
+        return x
+
+    def forward_with_cfg(
+        self,
+        x: Array,
+        t: Array,
+        y: Array,
+        pos: Array,
+        mask: Array,
+        cfg_scale,
+    ) -> Array:
+        """Classifier-free-guidance batched forward (GLIDE-style).
+
+        Expects the batch packed as [conditional half | unconditional half]
+        along axis 0 with identical latents in both halves; returns guided
+        eps duplicated into both halves. Guidance is applied to **all**
+        ``in_channels`` channels (reference ``fit.py:537-553``; contrast the
+        3-channel variant in ``dit.py:262``).
+
+        Use via ``model.apply(params, ..., method=FiT.forward_with_cfg)``.
+        """
+        half = x[: x.shape[0] // 2]
+        combined = jnp.concatenate([half, half], axis=0)
+        out = self(combined, t, y, pos, mask, train=False)
+        eps, rest = out[:, : self.in_channels], out[:, self.in_channels :]
+        cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+        guided = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+        eps = jnp.concatenate([guided, guided], axis=0)
+        return jnp.concatenate([eps, rest], axis=1)
+
+
+def _sizes():
+    # name -> (depth, hidden, heads); patch sizes {2,4,8} appended per entry.
+    return {"XL": (28, 1152, 16), "L": (24, 1024, 16), "B": (12, 768, 12), "S": (12, 384, 6)}
+
+
+def create_fit(name: str, **kwargs) -> FiT:
+    """Build a FiT by registry name, e.g. ``create_fit("FiT-B/2")``.
+
+    Registry parity: reference ``fit.py:556-617`` (12 sizes; DiT-equivalent
+    param counts: S 33M, B 130M, L 458M, XL 675M).
+    """
+    size, patch = name.removeprefix("FiT-").split("/")
+    depth, hidden, heads = _sizes()[size]
+    return FiT(
+        depth=depth,
+        hidden_size=hidden,
+        num_heads=heads,
+        patch_size=int(patch),
+        **kwargs,
+    )
+
+
+FiT_models = {
+    f"FiT-{size}/{patch}": (lambda s=size, p=patch: (lambda **kw: create_fit(f"FiT-{s}/{p}", **kw)))()
+    for size in _sizes()
+    for patch in (2, 4, 8)
+}

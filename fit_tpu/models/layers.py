@@ -1,0 +1,317 @@
+"""Building blocks of the FiT denoiser, as flax.linen modules.
+
+Numerical/structural parity notes (reference: /root/reference/FiT/models/):
+
+* LayerNorm: no learned affine, eps 1e-6 (``fit.py:303,308``), computed in
+  fp32 regardless of the activation dtype.
+* adaLN-Zero: a SiLU -> Dense(6*D) head producing
+  ``(shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp)`` as six
+  contiguous D-sized chunks (``fit.py:323-330``); zero-initialized so each
+  block starts as the identity function (``fit.py:421-424``).
+* SwiGLU: LLaMA-style gated FFN, hidden = int(D * mlp_ratio * 2/3)
+  (``fit.py:311-314``).
+* RoPE: q/k are viewed as (d/2) complex pairs and rotated in fp32 by the
+  per-token table; complex multiply kept in the exact ``a*c - b*d`` /
+  ``b*c + a*d`` form to preserve fp32 rounding (``fit.py:144-174``).
+* Timestep embedding: 256-dim [cos | sin] frequency features of the scalar t
+  -> Dense -> SiLU -> Dense (``fit.py:48-85``; note cos first, unlike the
+  usual sin-first convention).
+* Label embedding: table of size num_classes+1; rows dropped to the null
+  class for classifier-free guidance with an explicit PRNG (``fit.py:88-115``;
+  the torch version uses ambient RNG — here dropout randomness is an explicit
+  ``label_dropout`` rng collection).
+
+Weight layouts are chosen so a torch checkpoint converts by transposing each
+Linear kernel: flax Dense kernels are (in, out) = torch weight.T.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fit_tpu.ops.attention import masked_attention
+
+Array = jnp.ndarray
+Dtype = Any
+
+# Reference init scheme (``fit.py:404-430``): xavier-uniform Linear kernels,
+# zero biases, then targeted overrides (normal 0.02 embedders, zeros adaLN).
+default_kernel_init = nn.initializers.xavier_uniform()
+embed_init = nn.initializers.normal(stddev=0.02)
+
+
+def modulate(x: Array, shift: Array, scale: Array) -> Array:
+    """adaLN modulation: ``x * (1 + scale) + shift`` with (N, D) conditioning
+    broadcast over the token axis (reference ``fit.py:45-46``)."""
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+def layer_norm_fp32(x: Array, eps: float = 1e-6) -> Array:
+    """Affine-free LayerNorm in fp32, cast back to the input dtype."""
+    orig = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return ((x - mean) * jax.lax.rsqrt(var + eps)).astype(orig)
+
+
+def apply_rope(q: Array, k: Array, freqs_cis: Array) -> "tuple[Array, Array]":
+    """Rotate q, k by the 2D RoPE table.
+
+    q, k: (B, H, T, d); freqs_cis: (B, T, d) with interleaved (cos, sin)
+    pairs along the last axis (see ``fit_tpu.core.pos_embed.rope_freqs_2d``).
+    Math in fp32, result cast back (reference ``fit.py:160-174``).
+    """
+    b, h, t, d = q.shape
+    dtype = q.dtype
+    fc = freqs_cis.reshape(freqs_cis.shape[0], 1, t, d // 2, 2).astype(jnp.float32)
+    cos, sin = fc[..., 0], fc[..., 1]
+
+    def rot(x):
+        xf = x.astype(jnp.float32).reshape(b, h, t, d // 2, 2)
+        a, bb = xf[..., 0], xf[..., 1]
+        real = a * cos - bb * sin
+        imag = bb * cos + a * sin
+        return jnp.stack([real, imag], axis=-1).reshape(b, h, t, d).astype(dtype)
+
+    return rot(q), rot(k)
+
+
+class TimestepEmbedder(nn.Module):
+    """Scalar diffusion timestep -> (N, hidden) conditioning vector."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def timestep_embedding(t: Array, dim: int, max_period: int = 10000) -> Array:
+        """[cos | sin] sinusoidal features, fp32 (reference ``fit.py:61-80``)."""
+        half = dim // 2
+        freqs = jnp.exp(
+            -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        args = t.astype(jnp.float32)[:, None] * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        if dim % 2:
+            emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+        return emb
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        x = self.timestep_embedding(t, self.frequency_embedding_size)
+        x = nn.Dense(self.hidden_size, kernel_init=embed_init, dtype=self.dtype, name="fc1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.hidden_size, kernel_init=embed_init, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG null-class dropout."""
+
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        labels: Array,
+        train: bool,
+        force_drop_ids: Optional[Array] = None,
+    ) -> Array:
+        use_cfg_embedding = self.dropout_prob > 0
+        table = nn.Embed(
+            self.num_classes + int(use_cfg_embedding),
+            self.hidden_size,
+            embedding_init=embed_init,
+            dtype=self.dtype,
+            name="table",
+        )
+        if force_drop_ids is not None:
+            labels = jnp.where(force_drop_ids == 1, self.num_classes, labels)
+        elif train and use_cfg_embedding:
+            rng = self.make_rng("label_dropout")
+            drop = jax.random.uniform(rng, (labels.shape[0],)) < self.dropout_prob
+            labels = jnp.where(drop, self.num_classes, labels)
+        return table(labels)
+
+
+class SwiGLU(nn.Module):
+    """LLaMA-style gated FFN: ``fc2(silu(fc1_g(x)) * fc1_x(x))``."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gate = nn.Dense(
+            self.hidden_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc1_g"
+        )(x)
+        val = nn.Dense(
+            self.hidden_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc1_x"
+        )(x)
+        x = nn.silu(gate) * val
+        return nn.Dense(
+            self.out_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc2"
+        )(x)
+
+
+class GeluMlp(nn.Module):
+    """Plain tanh-GELU MLP (the reference's ``ffn="mlp"`` option; its torch
+    implementation has broken Linear kwargs at ``fit.py:130-132`` — this is
+    the intended working behavior)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(
+            self.hidden_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc1"
+        )(x)
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(
+            self.out_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc2"
+        )(x)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with optional 2D RoPE and key-padding mask.
+
+    QKV is one fused Dense(3*D) whose output is interpreted as contiguous
+    [q | k | v] blocks, each laid out [head0 | head1 | ...] (reference
+    ``fit.py:234``: reshape (B,N,3,h,d)) — torch checkpoints convert by
+    kernel transpose only.
+    """
+
+    dim: int
+    num_heads: int
+    use_rope: bool = True
+    attn_backend: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        mask: Optional[Array] = None,
+        freqs_cis: Optional[Array] = None,
+    ) -> Array:
+        b, n, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+
+        qkv = nn.Dense(
+            3 * self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="qkv"
+        )(x)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, d)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        if self.use_rope:
+            assert freqs_cis is not None, "RoPE attention requires freqs_cis"
+            q, k = apply_rope(q, k, freqs_cis)
+
+        out = masked_attention(
+            q, k, v, mask, scale=d**-0.5, backend=self.attn_backend
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(
+            self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="proj"
+        )(out)
+
+
+class FiTBlock(nn.Module):
+    """Pre-LN transformer block with adaLN-Zero conditioning
+    (reference ``fit.py:288-337``)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    ffn: str = "swiglu"
+    use_rope: bool = True
+    attn_backend: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        c: Array,
+        mask: Optional[Array] = None,
+        freqs_cis: Optional[Array] = None,
+    ) -> Array:
+        mod = nn.Dense(
+            6 * self.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="adaLN",
+        )(nn.silu(c))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod, 6, axis=-1
+        )
+
+        attn = SelfAttention(
+            self.hidden_size,
+            self.num_heads,
+            use_rope=self.use_rope,
+            attn_backend=self.attn_backend,
+            dtype=self.dtype,
+            name="attn",
+        )
+        x = x + gate_msa[:, None, :] * attn(
+            modulate(layer_norm_fp32(x), shift_msa, scale_msa),
+            mask=mask,
+            freqs_cis=freqs_cis,
+        )
+
+        if self.ffn == "swiglu":
+            hidden = int(self.hidden_size * self.mlp_ratio * 2 / 3)
+            ffn = SwiGLU(hidden, self.hidden_size, dtype=self.dtype, name="ffn")
+        elif self.ffn == "mlp":
+            hidden = int(self.hidden_size * self.mlp_ratio)
+            ffn = GeluMlp(hidden, self.hidden_size, dtype=self.dtype, name="ffn")
+        else:
+            raise ValueError(f"unsupported ffn `{self.ffn}`")
+        x = x + gate_mlp[:, None, :] * ffn(
+            modulate(layer_norm_fp32(x), shift_mlp, scale_mlp)
+        )
+        return x
+
+
+class FinalLayer(nn.Module):
+    """Final adaLN layer: LN -> 2-way modulate -> zero-init Dense to patches
+    (reference ``dit.py:125-142``)."""
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, c: Array) -> Array:
+        mod = nn.Dense(
+            2 * self.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="adaLN",
+        )(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(layer_norm_fp32(x), shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="linear",
+        )(x)

@@ -1,0 +1,291 @@
+"""Masked multi-head attention for packed variable-length token sequences.
+
+Two interchangeable backends behind one functional interface:
+
+* ``backend="xla"`` — the reference-semantics path: materializes the
+  ``(B, H, T, T)`` score matrix, masks padded *keys* with ``-inf`` and
+  softmaxes in fp32. This is the numerical-parity implementation (reference
+  ``/root/reference/FiT/models/fit.py:176-188``: key-only masking; padded
+  query rows produce garbage that downstream loss/unpad masking discards).
+
+* ``backend="flash"`` — a Pallas TPU flash-attention kernel with online
+  softmax. FiT's validity masks are *prefix* masks (the data pipeline packs
+  every sequence as [valid tokens | padding]), so the kernel receives the
+  per-sequence valid length as a scalar-prefetch operand and **skips whole
+  key blocks beyond it** — padded tokens cost zero FLOPs instead of being
+  masked post-hoc. Query blocks past the valid length are skipped too (their
+  outputs are zeros; the reference leaves garbage there, and both are
+  discarded by the loss/unpad masking).
+
+The flash kernel is forward-only Pallas; gradients flow through a
+``jax.custom_vjp`` whose backward pass recomputes attention with exact
+einsum math (flash-style recompute — no O(T^2) residuals are saved).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+__all__ = ["masked_attention", "mask_to_lengths", "NEG_INF"]
+
+NEG_INF = float("-inf")
+
+
+def mask_to_lengths(mask: Array) -> Array:
+    """(B, T) boolean prefix mask -> (B,) int32 valid lengths."""
+    return jnp.sum(mask.astype(jnp.int32), axis=-1)
+
+
+def _is_prefix_mask(mask: Array) -> Array:
+    """True per batch row iff the mask is [1]*n + [0]*(T-n)."""
+    lengths = mask_to_lengths(mask)
+    idx = jnp.arange(mask.shape[-1])[None, :]
+    return jnp.all((idx < lengths[:, None]) == mask, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference backend
+# ---------------------------------------------------------------------------
+
+
+def _xla_attention(q: Array, k: Array, v: Array, mask: Optional[Array], scale: float) -> Array:
+    """Reference-semantics masked attention, fp32 softmax.
+
+    q, k, v: (B, H, T, d); mask: (B, T) bool over keys or None.
+    """
+    dtype = q.dtype
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash backend (prefix-length masking, block skipping)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    # scalar-prefetch
+    lengths_ref,  # (B,) int32 valid lengths
+    # inputs (blocked)
+    q_ref,  # (1, 1, bq, d)
+    k_ref,  # (1, 1, T, d)
+    v_ref,  # (1, 1, T, d)
+    # output
+    o_ref,  # (1, 1, bq, d)
+    # scratch
+    acc_ref,  # (bq, d) f32
+    m_ref,  # (bq, 128) f32 running max
+    l_ref,  # (bq, 128) f32 running denom
+    *,
+    block_k: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    bq = q_ref.shape[2]
+    length = lengths_ref[b]
+
+    q_start = qi * bq
+    num_k_blocks = pl.cdiv(length, block_k)  # dynamic: skip fully-padded blocks
+
+    @pl.when(q_start < length)
+    def _compute():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, d)
+
+        def body(ki, _):
+            k_start = ki * block_k
+            kblk = k_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+            vblk = v_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (bq, bk)
+            # mask keys at/after the valid length (only the last block has any)
+            key_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_idx < length, s, NEG_INF)
+
+            m_prev = m_ref[:, :1]  # (bq, 1)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+            p = jnp.exp(s - m_new)  # (bq, bk)
+            l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_ref[:, :1] = m_new
+            acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+                p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return ()
+
+        jax.lax.fori_loop(0, num_k_blocks, body, ())
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+    @pl.when(q_start >= length)
+    def _skip():
+        # fully padded query block: deterministic zeros (discarded downstream)
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+
+def _flash_forward(
+    q: Array, k: Array, v: Array, lengths: Array, scale: float, block_q: int, block_k: int
+) -> Array:
+    b, h, t, d = q.shape
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
+    assert t % block_q == 0 and t % block_k == 0, (
+        f"seq_len {t} must be a multiple of block sizes ({block_q}, {block_k})"
+    )
+    grid = (b, h, t // block_q)
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, lens: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda b, h, qi, lens: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda b, h, qi, lens: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, h, qi, lens: (b, h, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        # CPU (tests / virtual multi-chip meshes) runs the kernel in the
+        # Pallas interpreter; TPU compiles it with Mosaic.
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention(q, k, v, lengths, scale, block_q, block_k):
+    return _flash_forward(q, k, v, lengths, scale, block_q, block_k)
+
+
+def _flash_attention_fwd(q, k, v, lengths, scale, block_q, block_k):
+    out = _flash_forward(q, k, v, lengths, scale, block_q, block_k)
+    return out, (q, k, v, lengths)
+
+
+def _flash_attention_bwd(scale, block_q, block_k, residuals, g):
+    """Exact gradients via recompute (flash-style): no O(T^2) residuals.
+
+    Standard softmax-attention backward:
+      dV = P^T dO;  dP = dO V^T;  dS = P * (dP - rowsum(dO * O));
+      dQ = dS K * scale;  dK = dS^T Q * scale.
+    Computed with the same key masking as the forward.
+    """
+    q, k, v, lengths = residuals
+    t = q.shape[2]
+    mask = jnp.arange(t)[None, :] < lengths[:, None]  # (B, T)
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf, preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    # padded query rows: softmax is fine (>=1 valid key), but grads for rows
+    # at/after the length should be zero because forward wrote zeros there.
+    qmask = mask[:, None, :, None]  # (B,1,T,1) over query axis
+    gf = jnp.where(qmask, gf, 0.0)
+
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf, preferred_element_type=jnp.float32)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vf, preferred_element_type=jnp.float32)
+    delta = jnp.sum(gf * o, axis=-1, keepdims=True)  # (B,H,T,1)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf, preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf, preferred_element_type=jnp.float32) * scale
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public interface
+# ---------------------------------------------------------------------------
+
+
+def masked_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    mask: Optional[Array] = None,
+    *,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+    lengths: Optional[Array] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> Array:
+    """Scaled-dot-product attention with a key-padding mask.
+
+    Args:
+      q, k, v: ``(B, H, T, d)``.
+      mask: ``(B, T)`` boolean validity mask over keys, or None (full).
+      scale: logit scale; defaults to ``d ** -0.5`` (reference
+        ``fit.py:179``).
+      backend: ``"xla"`` (parity path), ``"flash"`` (Pallas kernel; requires
+        a prefix mask / ``lengths``), or ``"auto"`` (flash on TPU when the
+        shape is tileable, else xla).
+      lengths: optional ``(B,)`` int32 valid lengths; derived from ``mask``
+        when omitted. The flash backend treats the mask as a prefix mask —
+        which the fit_tpu data pipeline guarantees; arbitrary masks must use
+        the xla backend.
+    """
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+
+    t = q.shape[2]
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        tileable = t % 128 == 0 or t <= 128
+        backend = "flash" if (on_tpu and tileable) else "xla"
+
+    if backend == "xla":
+        return _xla_attention(q, k, v, mask, scale)
+
+    if backend == "flash":
+        if lengths is None:
+            lengths = (
+                mask_to_lengths(mask)
+                if mask is not None
+                else jnp.full((q.shape[0],), t, jnp.int32)
+            )
+        if t <= 128:
+            block_q = block_k = t
+        return _flash_attention(q, k, v, lengths, scale, block_q, block_k)
+
+    raise ValueError(f"unknown attention backend: {backend}")

@@ -1,0 +1,157 @@
+"""End-to-end sampling pipeline: noise -> packed canvas -> guided denoising
+loop -> unpadded latent.
+
+Capability parity with the reference sampling path
+(``/root/reference/FiT/sample_lightning.py:31-70`` and the latent-geometry
+helpers ``FiT/train.py:97-166``), as one jit-compiled function per
+(batch, resolution, steps) configuration: CFG duplication, canvas padding,
+VisionNTK pos tables and masks are all baked into a single device program
+with the ``lax.scan`` denoising loop — no per-step host round trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fit_tpu.core.geometry import pad_latent_to_canvas, token_count, unpad_latent
+from fit_tpu.core.pos_embed import rope_freqs_2d, sincos_2d
+from fit_tpu.diffusion import (
+    GaussianDiffusion,
+    create_diffusion,
+    ddim_sample_loop,
+    dpm_solver_pp_2m,
+    p_sample_loop,
+)
+from fit_tpu.models.fit import FiT
+
+Array = jnp.ndarray
+
+__all__ = ["create_pos_embed", "create_mask", "FiTSampler"]
+
+
+def create_pos_embed(
+    h: int,
+    w: int,
+    patch_size: int,
+    max_length: int,
+    embed_dim: int,
+    method: str = "rotate",
+) -> Tuple[np.ndarray, int]:
+    """Inference pos table for an (h, w) latent, zero-padded to the token
+    budget. Passing ``max_length`` to the RoPE builder activates VisionNTK
+    (parity: reference ``train.py:136-156`` — the inference path is the only
+    one that extrapolates). Returns ``(table (1, T, D) fp32, valid_t)``.
+    """
+    nh, nw = h // patch_size, w // patch_size
+    if method == "rotate":
+        fill = rope_freqs_2d(embed_dim, nh, nw, max_length=max_length)
+    else:
+        fill = sincos_2d(embed_dim, nh, nw)
+    fill = fill.astype(np.float32)
+    valid_t = fill.shape[0]
+    if valid_t > max_length:
+        table = fill  # extrapolation: the grid IS the canvas
+    else:
+        table = np.zeros((max_length, embed_dim), np.float32)
+        table[:valid_t] = fill
+    return table[None], valid_t
+
+
+def create_mask(valid_t: int, max_length: int, n: int) -> np.ndarray:
+    """(n, T) prefix validity mask (parity: reference ``train.py:158-166``)."""
+    length = max(valid_t, max_length) if valid_t > max_length else max_length
+    mask = np.zeros((length,), bool)
+    mask[:valid_t] = True
+    return np.broadcast_to(mask, (n, length)).copy()
+
+
+@dataclasses.dataclass
+class FiTSampler:
+    """Class-conditional FiT sampler with classifier-free guidance.
+
+    One instance per (model, sampler config); each distinct
+    (batch, height, width) compiles once and is cached by ``jit``.
+
+    Args mirror the reference CLI (``sample_lightning.py:91-100``):
+    ``num_sampling_steps`` (default 250), ``cfg_scale``, image height/width
+    in pixels. ``sampler`` extends the reference with "ddpm" and "dpm" modes.
+    """
+
+    model: FiT
+    num_sampling_steps: int = 250
+    cfg_scale: float = 1.5
+    sampler: str = "ddim"  # "ddim" | "ddpm" | "dpm"
+    vae_scale: int = 8
+    max_size: int = 32  # canvas side in latent px (256px / vae_scale)
+    max_length: int = 256
+    num_classes: int = 1000
+
+    def __post_init__(self):
+        self.diffusion: GaussianDiffusion = create_diffusion(str(self.num_sampling_steps))
+        # h, w are static (each resolution compiles its own program)
+        self._jitted = jax.jit(self._sample_latents, static_argnums=(2, 3))
+
+    def _head_dim(self) -> int:
+        return self.model.hidden_size // self.model.num_heads
+
+    def _sample_latents(self, params, z, h: int, w: int, y, pos, mask, rng):
+        """z: (n, C, h, w) initial noise; returns (n, C, h, w) clean latents."""
+        n = z.shape[0]
+        y_null = jnp.full((n,), self.num_classes, y.dtype)
+        y_all = jnp.concatenate([y, y_null], axis=0)
+        z_all = jnp.concatenate([z, z], axis=0)
+        canvas = pad_latent_to_canvas(z_all, self.model.patch_size, self.max_size, self.max_length)
+
+        def model_fn(x, t):
+            return self.model.apply(
+                params, x, t, y_all, pos, mask, self.cfg_scale, method=FiT.forward_with_cfg
+            )
+
+        if self.sampler == "ddim":
+            out = ddim_sample_loop(self.diffusion, model_fn, canvas, rng, clip_denoised=False)
+        elif self.sampler == "ddpm":
+            out = p_sample_loop(self.diffusion, model_fn, canvas, rng, clip_denoised=False)
+        elif self.sampler == "dpm":
+            out = dpm_solver_pp_2m(self.diffusion, model_fn, canvas, clip_denoised=False)
+        else:
+            raise ValueError(f"unknown sampler {self.sampler}")
+
+        samples = out[:n]  # drop the null-class half
+        valid_t = token_count(h, w, self.model.patch_size)
+        return unpad_latent(samples, valid_t, h, w, self.model.patch_size)
+
+    def sample(
+        self,
+        params,
+        labels,
+        rng: jax.Array,
+        image_height: int = 256,
+        image_width: int = 256,
+        z: Optional[Array] = None,
+    ) -> Array:
+        """Generate latents for ``labels`` at the given pixel resolution.
+
+        Decoding to pixels is a separate step (``fit_tpu.vae``), matching the
+        reference split (``sample_lightning.py:73-74``).
+        """
+        labels = jnp.asarray(labels)
+        n = labels.shape[0]
+        h, w = image_height // self.vae_scale, image_width // self.vae_scale
+        rng_z, rng_loop = jax.random.split(rng)
+        if z is None:
+            z = jax.random.normal(rng_z, (n, self.model.in_channels, h, w), jnp.float32)
+
+        pos_np, valid_t = create_pos_embed(
+            h, w, self.model.patch_size, self.max_length, self._head_dim(), "rotate"
+        )
+        seq = max(valid_t, self.max_length)
+        mask_np = create_mask(valid_t, self.max_length, 2 * n)
+        pos = jnp.asarray(np.broadcast_to(pos_np, (2 * n, seq, pos_np.shape[-1])).copy())
+        mask = jnp.asarray(mask_np)
+        return self._jitted(params, z, h, w, labels, pos, mask, rng_loop)
