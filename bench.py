@@ -1,0 +1,98 @@
+"""Headline benchmark: FiT-XL/2 256x256, 250-step DDPM sampling with CFG.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": images/sec/chip, "unit": "img/s/chip",
+   "vs_baseline": speedup vs the XLA-naive configuration}
+
+"XLA-naive" baseline = the reference's compute recipe transplanted to XLA:
+fp32 activations, full (B,H,T,T) masked score materialization (the torch
+reference materializes exactly this, fit.py:183-188), same sampler loop.
+Our configuration: bf16 activations + the Pallas masked-flash kernel.
+
+On non-TPU backends (CI smoke), shapes shrink so the script still completes;
+the recorded numbers are only meaningful on TPU.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(model_name, dtype, attn_backend, num_classes=1000):
+    from fit_tpu.models import create_fit
+
+    return create_fit(model_name, dtype=dtype, attn_backend=attn_backend, num_classes=num_classes)
+
+
+def init_params(model, head_dim):
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.normal(size=(1, 8, 16)).astype(np.float32))
+    pos = jnp.zeros((1, 8, head_dim))
+    mask = jnp.ones((1, 8), bool)
+    return model.init(
+        {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
+        tokens, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32), pos, mask, train=True,
+    )
+
+
+def measure(model, params, batch, steps, seed=0):
+    from fit_tpu.sampling import FiTSampler
+
+    sampler = FiTSampler(model, num_sampling_steps=steps, cfg_scale=1.5, sampler="ddpm")
+    labels = list(range(batch))
+    # warmup / compile
+    out = sampler.sample(params, labels, jax.random.PRNGKey(seed), 256, 256)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = sampler.sample(params, labels, jax.random.PRNGKey(seed + 1), 256, 256)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch / dt, dt / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="FiT-XL/2")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--baseline-steps", type=int, default=25)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:  # smoke mode
+        args.model, args.batch, args.steps, args.baseline_steps = "FiT-S/2", 2, 4, 4
+
+    # our configuration: bf16 + flash kernel
+    model = build(args.model, jnp.bfloat16, "flash" if on_tpu else "xla")
+    head_dim = model.hidden_size // model.num_heads
+    params = init_params(model, head_dim)
+    imgs_per_sec, step_lat = measure(model, params, args.batch, args.steps)
+
+    vs_baseline = 1.0
+    if not args.skip_baseline:
+        naive = build(args.model, jnp.float32, "xla")
+        naive_params = init_params(naive, head_dim)
+        _, naive_step_lat = measure(
+            naive, naive_params, args.batch, args.baseline_steps, seed=100
+        )
+        vs_baseline = naive_step_lat / step_lat
+
+    print(json.dumps({
+        "metric": f"images/sec/chip {args.model} 256x256 {args.steps}-step DDPM cfg",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "p50_step_latency_ms": round(step_lat * 1e3, 3),
+        "batch": args.batch,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Device mesh and sharding layer.
+
+The reference's only distribution story is Lightning-DDP-over-NCCL
+capability (unused in its configs — SURVEY.md §2.2); the TPU-native
+replacement is a ``jax.sharding.Mesh`` over ICI with GSPMD sharding
+annotations, giving:
+
+* **DP**   — batch axis sharded over ``"data"``;
+* **FSDP** — parameters additionally sharded over ``"data"`` (ZeRO-3 style;
+  XLA inserts all-gathers around use and reduce-scatters for grads);
+* **TP**   — attention-head / FFN-hidden dims sharded over ``"model"``
+  (Megatron-style: qkv/fc1 column-parallel, proj/fc2 row-parallel, so each
+  block needs one all-reduce per sublayer, riding ICI).
+
+All of it is annotation-driven: the train/sample steps are ordinary jitted
+functions; XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "param_partition_spec",
+    "shard_params",
+    "batch_sharding",
+    "replicated",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh. ``dp`` defaults to n_devices // tp.
+
+    On multi-host slices, ``jax.devices()`` is globally ordered so the model
+    axis lands on adjacent devices (fastest ICI hops) and data-parallel
+    replicas span hosts.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.array(devices).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# parameter partitioning rules for the FiT/DiT family
+# ---------------------------------------------------------------------------
+
+# (path regex, PartitionSpec) — first match wins. Paths are "/"-joined flax
+# param paths, e.g. "params/blocks_3/attn/qkv/kernel".
+_TP_RULES = [
+    # column-parallel: split output features over the model axis
+    (r".*attn/qkv/kernel$", P(None, MODEL_AXIS)),
+    (r".*attn/qkv/bias$", P(MODEL_AXIS)),
+    (r".*ffn/fc1_[gx]/kernel$", P(None, MODEL_AXIS)),
+    (r".*ffn/fc1_[gx]/bias$", P(MODEL_AXIS)),
+    (r".*ffn/fc1/kernel$", P(None, MODEL_AXIS)),
+    (r".*ffn/fc1/bias$", P(MODEL_AXIS)),
+    # row-parallel: split input features; output needs an all-reduce
+    (r".*attn/proj/kernel$", P(MODEL_AXIS, None)),
+    (r".*ffn/fc2/kernel$", P(MODEL_AXIS, None)),
+]
+
+_FSDP_RULES = [
+    # shard every large 2D kernel's input dim over the data axis (ZeRO-3);
+    # embeddings shard over the vocab dim.
+    (r".*y_embedder/table/embedding$", P(DATA_AXIS, None)),
+    (r".*/kernel$", P(DATA_AXIS, None)),
+]
+
+
+def _match(rules, path: str):
+    for pat, spec in rules:
+        if re.match(pat, path):
+            return spec
+    return None
+
+
+def param_partition_spec(params, *, tp: bool = True, fsdp: bool = False):
+    """PartitionSpec pytree for a FiT/DiT params pytree.
+
+    With both tp and fsdp, TP rules take precedence and FSDP fills the spare
+    dimension of TP-sharded kernels (2D sharding).
+    """
+
+    def spec_for(path_tuple, leaf) -> P:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path_tuple)
+        spec = _match(_TP_RULES, path) if tp else None
+        if spec is not None and fsdp and leaf.ndim == 2:
+            # combine: fsdp on the un-touched dim
+            if spec == P(None, MODEL_AXIS):
+                spec = P(DATA_AXIS, MODEL_AXIS)
+            elif spec == P(MODEL_AXIS, None):
+                spec = P(MODEL_AXIS, DATA_AXIS)
+        if spec is None and fsdp:
+            spec = _match(_FSDP_RULES, path)
+        if spec is None:
+            spec = P()
+        # never shard a dim the leaf doesn't have or that doesn't divide
+        if leaf.ndim < len([a for a in spec if a is not None]):
+            return P()
+        return spec
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def _divisible(leaf_shape, spec: P, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if dim >= len(leaf_shape) or leaf_shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def shard_params(params, mesh: Mesh, *, tp: bool = True, fsdp: bool = False):
+    """Place a params pytree onto the mesh according to the rules, falling
+    back to replication for any leaf whose shape doesn't divide."""
+    specs = param_partition_spec(params, tp=tp, fsdp=fsdp)
+
+    def place(x, spec):
+        if not _divisible(x.shape, spec, mesh):
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, specs), jax.tree.map(
+        lambda x, s: s if _divisible(x.shape, s, mesh) else P(), params, specs
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: leading axis over data, rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,183 @@
+"""The training orchestrator: epochs, validation, checkpoint/resume, metrics.
+
+Capability parity with the reference Lightning module + Trainer
+(``/root/reference/FiT/train.py:31-293``) as one explicit loop: no callback
+machinery — EMA/optimizer live inside the jitted step, checkpoints are Orbax
+saves of the whole state, metrics go to JSONL (+ optional W&B), and the
+profiler hook is ``jax.profiler`` traces instead of cProfile.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fit_tpu.data import LatentFolderDataset, LatentLoader
+from fit_tpu.diffusion import create_diffusion
+from fit_tpu.models import create_fit
+from fit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from fit_tpu.train.state import create_train_state, make_optimizer
+from fit_tpu.train.step import make_eval_step, make_train_step, split_for_accumulation
+from fit_tpu.utils.checkpoint import CheckpointManager
+from fit_tpu.utils.config import TrainConfig
+from fit_tpu.utils.logging import MetricLogger
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig):
+        self.cfg = config
+        cfg = config
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+        self.model = create_fit(
+            cfg.model,
+            num_classes=cfg.num_classes,
+            attn_backend=cfg.attn_backend,
+            dtype=dtype,
+            remat=cfg.remat,
+        )
+        self.head_dim = self.model.hidden_size // self.model.num_heads
+        self.diffusion = create_diffusion(None)  # 1000-step training process
+        self.tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+
+        self.mesh = make_mesh(tp=cfg.tp)
+        n_hosts = jax.process_count()
+        self.host_id = jax.process_index()
+
+        self.dataset = LatentFolderDataset(
+            cfg.feature_path,
+            patch_size=cfg.patch_size,
+            sample_size=cfg.image_size,
+            vae_scale=cfg.vae_scale,
+            channels=cfg.channels,
+            head_dim=self.head_dim,
+        )
+        per_host_batch = cfg.global_batch_size // n_hosts
+        self.loader = LatentLoader(
+            self.dataset,
+            per_host_batch,
+            mode={"pad": "pad", "bucket": "bucket"}[cfg.packing],
+            seed=cfg.global_seed,
+            shard_id=self.host_id,
+            num_shards=n_hosts,
+            buckets=cfg.token_buckets,
+        )
+        self.val_loader = None
+        if cfg.feature_val_path and os.path.isdir(cfg.feature_val_path):
+            val_ds = LatentFolderDataset(
+                cfg.feature_val_path,
+                patch_size=cfg.patch_size,
+                sample_size=cfg.image_size,
+                vae_scale=cfg.vae_scale,
+                channels=cfg.channels,
+                head_dim=self.head_dim,
+                hflip=False,
+            )
+            self.val_loader = LatentLoader(
+                val_ds, per_host_batch, mode="pad", shuffle=False,
+                seed=cfg.global_seed, shard_id=self.host_id, num_shards=n_hosts,
+            )
+
+        self.train_step = make_train_step(
+            self.model.apply, self.diffusion, self.tx,
+            ema_decay=cfg.ema_decay, grad_accum=cfg.grad_accum,
+        )
+        self.eval_step = make_eval_step(self.model.apply, self.diffusion)
+        self.ckpt = CheckpointManager(os.path.join(cfg.results_dir, "checkpoints"))
+        self.logger = MetricLogger(
+            cfg.results_dir, run_name=cfg.model.replace("/", "-"),
+            use_wandb=cfg.use_wandb, wandb_run_id=cfg.wandb_run_id,
+        )
+        self.start_epoch = 0
+        self.state = None
+
+    def _init_state(self):
+        cfg = self.cfg
+        t_len = self.dataset.max_length
+        dummy = {
+            "tokens": jnp.zeros((1, t_len, cfg.patch_size**2 * cfg.channels)),
+            "pos": jnp.zeros((1, t_len, self.head_dim)),
+            "mask": jnp.ones((1, t_len), bool),
+            "label": jnp.zeros((1,), jnp.int32),
+        }
+        params = self.model.init(
+            {
+                "params": jax.random.PRNGKey(cfg.global_seed),
+                "label_dropout": jax.random.PRNGKey(cfg.global_seed + 1),
+            },
+            dummy["tokens"], jnp.zeros((1,), jnp.int32), dummy["label"],
+            dummy["pos"], dummy["mask"], train=True,
+        )
+        params, _specs = shard_params(params, self.mesh, tp=cfg.tp > 1, fsdp=cfg.fsdp)
+        state = create_train_state(params, self.tx)
+
+        restored, host_state = self.ckpt.restore(template=state) if cfg.resume_from_checkpoint != "none" else (None, None)
+        if restored is not None:
+            state = restored
+            if host_state:
+                self.start_epoch = int(host_state.get("epoch", 0))
+            print(f"[fit_tpu] resumed at step {int(state.step)}, epoch {self.start_epoch}")
+        return state
+
+    def _device_batch(self, batch: dict) -> dict:
+        cfg = self.cfg
+        dev = {k: v for k, v in batch.items() if k in ("tokens", "pos", "mask", "label")}
+        if cfg.grad_accum > 1:
+            dev = split_for_accumulation(dev, cfg.grad_accum)
+        sharding = batch_sharding(self.mesh)
+        # leading accum axis is unsharded; batch axis shards over data
+        return jax.device_put(dev, sharding if cfg.grad_accum == 1 else None)
+
+    def fit(self, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        self.state = self._init_state() if self.state is None else self.state
+        state = self.state
+        rng = jax.random.PRNGKey(cfg.global_seed + self.host_id)
+        log_every = max(1, cfg.log_every)
+        t_last = time.time()
+        imgs_since = 0
+        done = False
+
+        for epoch in range(self.start_epoch, cfg.epochs):
+            for batch in self.loader.epoch_batches(epoch):
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = self.train_step(state, self._device_batch(batch), step_rng)
+                imgs_since += batch["tokens"].shape[0]
+                step = int(metrics["step"])
+                if step % log_every == 0:
+                    loss = float(metrics["loss"])
+                    dt = time.time() - t_last
+                    self.logger.log(
+                        step, train_loss=loss,
+                        grad_norm=float(metrics["grad_norm"]),
+                        images_per_sec=imgs_since / max(dt, 1e-9),
+                        epoch=epoch,
+                    )
+                    t_last, imgs_since = time.time(), 0
+                if max_steps is not None and step >= max_steps:
+                    done = True
+                    break
+
+            if self.val_loader is not None:
+                val_losses = []
+                for vb in self.val_loader.epoch_batches(0):
+                    rng, vrng = jax.random.split(rng)
+                    dev = {k: v for k, v in vb.items() if k in ("tokens", "pos", "mask", "label")}
+                    val_losses.append(float(self.eval_step(state.ema_params, dev, vrng)))
+                if val_losses:
+                    self.logger.log(int(state.step), val_loss=float(np.mean(val_losses)), epoch=epoch)
+
+            if (epoch + 1) % cfg.ckpt_every_epochs == 0 or done:
+                self.ckpt.save(int(state.step), state, host_state={"epoch": epoch + 1})
+            if done:
+                break
+
+        self.ckpt.wait()
+        self.state = state
+        return state

@@ -1,0 +1,148 @@
+"""The jitted training step: noising, masked-MSE loss, grad accumulation,
+AdamW update, EMA — one device program.
+
+Loss semantics parity with the reference training step
+(``/root/reference/FiT/train.py:45-69``): per step draw uniform timesteps,
+Gaussian noise, form ``x_t`` with the shared linear alpha-bar table (the
+diffusers ``DDIMScheduler.add_noise`` and the in-repo schedule agree — see
+``fit_tpu.core.schedules``), run the denoiser on padded tokens, and take one
+global mean of squared error over valid tokens only
+(``F.mse_loss(out[mask], noise[mask])``).
+
+Gradient accumulation (reference ``accumulate_grad_batches=2``,
+``train.py:288``) is a ``lax.scan`` over a leading microbatch axis — grads
+are averaged across microbatches, then a single optimizer + EMA update runs,
+exactly the Lightning semantics without retraced Python.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fit_tpu.diffusion.gaussian import GaussianDiffusion, masked_global_mse
+from fit_tpu.train.state import TrainState, ema_update
+
+Array = jnp.ndarray
+
+__all__ = ["diffusion_loss", "make_train_step", "make_eval_step"]
+
+
+def diffusion_loss(
+    model_apply: Callable,
+    params,
+    diffusion: GaussianDiffusion,
+    batch: dict,
+    rng: jax.Array,
+) -> Array:
+    """Masked eps-prediction MSE for one microbatch.
+
+    ``batch``: tokens (B,T,D), pos (B,T,P), mask (B,T), label (B,).
+    """
+    tokens = batch["tokens"]
+    b = tokens.shape[0]
+    rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
+    t = jax.random.randint(rng_t, (b,), 0, diffusion.original_num_steps)
+    noise = jax.random.normal(rng_noise, tokens.shape, jnp.float32)
+    x_t = diffusion.q_sample(tokens.astype(jnp.float32), t, noise)
+
+    out = model_apply(
+        params,
+        x_t,
+        t,
+        batch["label"],
+        batch["pos"],
+        batch["mask"],
+        train=True,
+        rngs={"label_dropout": rng_drop},
+    )
+    return masked_global_mse(out.astype(jnp.float32), noise, batch["mask"])
+
+
+def make_train_step(
+    model_apply: Callable,
+    diffusion: GaussianDiffusion,
+    tx,
+    *,
+    ema_decay: float = 0.9999,
+    grad_accum: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    The returned function takes ``(state, batch, rng)`` where every batch
+    array has a leading ``(grad_accum, micro_batch, ...)`` shape when
+    ``grad_accum > 1`` (use :func:`split_for_accumulation`), and returns
+    ``(state, metrics)``.
+    """
+
+    def loss_fn(params, micro, rng):
+        return diffusion_loss(model_apply, params, diffusion, micro, rng)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        if grad_accum == 1:
+            loss, grads = grad_fn(state.params, batch, rng)
+        else:
+            def micro_step(carry, xs):
+                micro, key = xs
+                loss_i, g_i = grad_fn(state.params, micro, key)
+                return jax.tree.map(jnp.add, carry, g_i), loss_i
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            keys = jax.random.split(rng, grad_accum)
+            gsum, losses = jax.lax.scan(micro_step, zero, (batch, keys))
+            grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+            loss = jnp.mean(losses)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_ema = ema_update(state.ema_params, new_params, ema_decay)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax_global_norm(grads),
+            "step": state.step + 1,
+        }
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                ema_params=new_ema,
+            ),
+            metrics,
+        )
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def optax_global_norm(tree) -> Array:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(tree))
+    )
+
+
+def make_eval_step(model_apply: Callable, diffusion: GaussianDiffusion):
+    """Validation loss (reference ``train.py:71-95``: same computation as the
+    training step, deterministic rng handled by the caller)."""
+
+    @jax.jit
+    def step(params, batch: dict, rng: jax.Array):
+        return diffusion_loss(model_apply, params, diffusion, batch, rng)
+
+    return step
+
+
+def split_for_accumulation(batch: dict, grad_accum: int) -> dict:
+    """Reshape (B, ...) arrays to (grad_accum, B // grad_accum, ...)."""
+    def r(x):
+        b = x.shape[0]
+        assert b % grad_accum == 0, f"batch {b} not divisible by accum {grad_accum}"
+        return x.reshape((grad_accum, b // grad_accum) + x.shape[1:])
+
+    return {k: r(v) for k, v in batch.items()}

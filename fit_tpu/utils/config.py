@@ -1,0 +1,114 @@
+"""One typed config system for training/sampling/preprocessing.
+
+Replaces the reference's three ad-hoc layers (argparse CLIs, a JSON config
+for preprocessing only, and hardcoded in-module dicts — SURVEY.md §5) with
+dataclasses that load from JSON and expose argparse flags using the
+reference's public flag names (``--model``, ``--global-batch-size``,
+``--cfg_scale``, ... — ``FiT/train.py:296-314``,
+``sample_lightning.py:91-100``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+__all__ = ["TrainConfig", "SampleConfig", "PreprocessConfig", "add_dataclass_args", "from_args"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    feature_path: str = "features"
+    feature_val_path: str = "features_val"
+    results_dir: str = "results"
+    model: str = "FiT-B/2"
+    image_size: int = 256
+    num_classes: int = 1000
+    epochs: int = 1400
+    global_batch_size: int = 256
+    global_seed: int = 0
+    num_workers: int = 4  # loader prefetch threads
+    log_every: int = 100
+    ckpt_every_epochs: int = 1
+    resume_from_checkpoint: Optional[str] = None
+    wandb_run_id: Optional[str] = None
+    use_wandb: bool = False
+    # optimization (reference values)
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    ema_decay: float = 0.9999
+    grad_accum: int = 2
+    compute_dtype: str = "bfloat16"  # 'bf16-mixed' parity
+    # data geometry (reference hardcoded dict, train.py:220-227)
+    patch_size: int = 2
+    vae_scale: int = 8
+    channels: int = 4
+    # packing: "pad" (FiT) or "bucket" (masked_FiT)
+    packing: str = "pad"
+    token_buckets: Tuple[int, ...] = (32, 64, 96, 128, 192, 256)
+    # parallelism
+    tp: int = 1
+    fsdp: bool = False
+    attn_backend: str = "auto"
+    remat: bool = False
+
+
+@dataclasses.dataclass
+class SampleConfig:
+    checkpoint_path: str = ""
+    num_samples: int = 4
+    num_sampling_steps: int = 250
+    image_height: int = 256
+    image_width: int = 256
+    num_classes: int = 1000
+    vae: str = "ema"  # "ema" | "mse"
+    cfg_scale: float = 1.5
+    model: str = "FiT-B/2"
+    sampler: str = "ddim"  # "ddim" | "ddpm" | "dpm"
+    batch_size: int = 100
+    output_dir: str = "samples"
+    global_seed: int = 0
+    use_ema: bool = True
+    attn_backend: str = "auto"
+
+
+@dataclasses.dataclass
+class PreprocessConfig:
+    dataset_path: str = "../dataset"
+    latent_folder: str = "../latent"
+    batch_size: int = 1
+    sample_size: int = 256
+    patch_size: int = 2
+    vae: str = "ema"
+    vae_checkpoint: Optional[str] = None  # torch .bin/.safetensors to convert
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    """Expose every field as ``--field-name`` (and ``--field_name``)."""
+    for f in dataclasses.fields(cls):
+        name = f.name.replace("_", "-")
+        default = f.default
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            parser.add_argument(f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=default)
+        elif isinstance(default, tuple):
+            parser.add_argument(f"--{name}", type=int, nargs="*", default=list(default))
+        else:
+            typ = type(default) if default is not None else str
+            parser.add_argument(f"--{name}", type=typ, default=default)
+
+
+def from_args(cls, args: argparse.Namespace, json_path: Optional[str] = None):
+    """Build a config from (optional) JSON file + CLI overrides."""
+    base = {}
+    if json_path:
+        with open(json_path) as f:
+            base = json.load(f)
+    names = {f.name for f in dataclasses.fields(cls)}
+    for k, v in vars(args).items():
+        key = k.replace("-", "_")
+        if key in names and v is not None:
+            base[key] = tuple(v) if isinstance(v, list) else v
+    return cls(**{k: v for k, v in base.items() if k in names})

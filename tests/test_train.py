@@ -1,0 +1,167 @@
+"""Training tests: loss/EMA/accumulation semantics, checkpoint round-trip,
+and a short end-to-end fit on synthetic latents."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fit_tpu.diffusion import create_diffusion
+from fit_tpu.models import FiT
+from fit_tpu.train import (
+    create_train_state,
+    ema_update,
+    make_optimizer,
+    make_train_step,
+    split_for_accumulation,
+)
+
+
+def tiny_model():
+    return FiT(
+        patch_size=2, in_channels=4, hidden_size=64, depth=2, num_heads=4,
+        num_classes=5, attn_backend="xla",
+    )
+
+
+def make_batch(b=4, t=32, seed=0):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(8, t + 1, size=b)
+    tokens = rng.normal(size=(b, t, 16)).astype(np.float32)
+    pos = rng.normal(size=(b, t, 16)).astype(np.float32)
+    mask = (np.arange(t)[None] < lengths[:, None])
+    tokens[~mask] = 0
+    return {
+        "tokens": jnp.asarray(tokens),
+        "pos": jnp.asarray(pos),
+        "mask": jnp.asarray(mask),
+        "label": jnp.asarray(rng.integers(0, 5, size=b).astype(np.int32)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    batch = make_batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
+        batch["tokens"], jnp.zeros((4,), jnp.int32), batch["label"],
+        batch["pos"], batch["mask"], train=True,
+    )
+    return model, params, batch
+
+
+def test_ema_update_math():
+    ema = {"a": jnp.ones((3,))}
+    cur = {"a": jnp.zeros((3,))}
+    out = ema_update(ema, cur, 0.9)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.9)
+
+
+def test_train_step_updates_and_loss_decreases(setup):
+    model, params, batch = setup
+    diffusion = create_diffusion(None)
+    tx = make_optimizer(1e-3)
+    step_fn = make_train_step(model.apply, diffusion, tx, grad_accum=1, donate=False)
+    state = create_train_state(params, tx)
+    losses = []
+    rng = jax.random.PRNGKey(42)
+    for i in range(30):
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, k)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 30
+    # eps-MSE starts near 1 (zero-init model predicts 0, target is N(0,1))
+    assert 0.7 < losses[0] < 1.4
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    # EMA trails params: not equal, but closer to params than init was
+    p = jax.tree.leaves(state.params)[0]
+    e = jax.tree.leaves(state.ema_params)[0]
+    assert np.abs(np.asarray(p - e)).max() > 0
+
+
+def test_grad_accum_matches_big_batch(setup):
+    """grad_accum=2 over two microbatches == single step on the mean grads.
+    We verify the resulting params are deterministic and in agreement with a
+    manually averaged-gradient step."""
+    model, params, _ = setup
+    diffusion = create_diffusion(None)
+    tx = make_optimizer(1e-3)
+    from fit_tpu.train.step import diffusion_loss
+
+    batch = make_batch(b=8, seed=3)
+    split = split_for_accumulation(batch, 2)
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 2)
+
+    # manual: average grads of the two microbatches (same per-micro rngs)
+    g_fn = jax.grad(lambda p, mb, k: diffusion_loss(model.apply, p, diffusion, mb, k))
+    micro0 = {k: v[0] for k, v in split.items()}
+    micro1 = {k: v[1] for k, v in split.items()}
+    g0 = g_fn(params, micro0, keys[0])
+    g1 = g_fn(params, micro1, keys[1])
+    gmean = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+    upd, _ = tx.update(gmean, tx.init(params), params)
+    want = jax.tree.map(lambda p, u: p + u, params, upd)
+
+    step_fn = make_train_step(model.apply, diffusion, tx, grad_accum=2, donate=False)
+    state = create_train_state(params, tx)
+    state, _m = step_fn(state, split, rng)
+    got = state.params
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    model, params, batch = setup
+    from fit_tpu.utils.checkpoint import CheckpointManager
+
+    tx = make_optimizer()
+    state = create_train_state(params, tx)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(5, state, host_state={"epoch": 2})
+    mgr.wait()
+    assert mgr.latest_step() == 5
+    restored, host = mgr.restore(template=state)
+    assert host == {"epoch": 2}
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_trainer_end_to_end(tmp_path):
+    """Full Trainer on synthetic latents: a few steps run, metrics written,
+    checkpoint saved, resume restores the step counter."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "latents"
+    for cls in ["a", "b"]:
+        (root / cls).mkdir(parents=True)
+        for i in range(8):
+            np.save(root / cls / f"{i}.npy", rng.normal(size=(4, 16, 16)).astype(np.float16))
+
+    from fit_tpu.train import Trainer
+    from fit_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        feature_path=str(root),
+        feature_val_path="",
+        results_dir=str(tmp_path / "results"),
+        model="FiT-S/2",
+        image_size=64,  # max_length = (64/2/8)^2 = 16 tokens
+        num_classes=2,
+        epochs=2,
+        global_batch_size=4,
+        grad_accum=2,
+        log_every=1,
+        compute_dtype="float32",
+        attn_backend="xla",
+    )
+    trainer = Trainer(cfg)
+    state = trainer.fit(max_steps=3)
+    assert int(state.step) == 3
+    assert (tmp_path / "results" / "FiT-S-2_metrics.jsonl").exists()
+
+    trainer2 = Trainer(cfg)
+    state2 = trainer2._init_state()
+    assert int(state2.step) == 3
+    assert trainer2.start_epoch >= 0
