@@ -45,12 +45,16 @@ def measure(model, params, batch, steps, seed=0):
 
     sampler = FiTSampler(model, num_sampling_steps=steps, cfg_scale=1.5, sampler="ddpm")
     labels = list(range(batch))
-    # warmup / compile
-    out = sampler.sample(params, labels, jax.random.PRNGKey(seed), 256, 256)
-    out.block_until_ready()
+
+    def run(s):
+        out = sampler.sample(params, labels, jax.random.PRNGKey(s), 256, 256)
+        # force completion with a host readback: on some PJRT transports
+        # block_until_ready returns at dispatch, so fetch real bytes.
+        return jax.device_get(out[:, 0, 0, 0])
+
+    run(seed)  # warmup / compile
     t0 = time.perf_counter()
-    out = sampler.sample(params, labels, jax.random.PRNGKey(seed + 1), 256, 256)
-    out.block_until_ready()
+    run(seed + 1)
     dt = time.perf_counter() - t0
     return batch / dt, dt / steps
 

@@ -1,0 +1,27 @@
+"""Training CLI — reference-compatible flags (``FiT/train.py:296-314``).
+
+Usage:
+  python -m fit_tpu.cli.train --model FiT-B/2 --feature-path <latents> \
+      --global-batch-size 128 --epochs 100 [--config cfg.json]
+"""
+
+import argparse
+
+from fit_tpu.utils.config import TrainConfig, add_dataclass_args, from_args
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train a FiT model on TPU")
+    parser.add_argument("--config", type=str, default=None, help="JSON config file")
+    add_dataclass_args(parser, TrainConfig)
+    args = parser.parse_args()
+    cfg = from_args(TrainConfig, args, args.config)
+
+    from fit_tpu.train import Trainer
+
+    trainer = Trainer(cfg)
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

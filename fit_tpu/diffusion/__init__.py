@@ -13,6 +13,11 @@ from fit_tpu.diffusion.gaussian import (
     normal_kl,
 )
 from fit_tpu.diffusion.samplers import cfg_model_fn, ddim_sample_loop, p_sample_loop
+from fit_tpu.diffusion.timestep_samplers import (
+    LossSecondMomentResampler,
+    UniformSampler,
+    create_named_schedule_sampler,
+)
 
 __all__ = [
     "space_timesteps",
@@ -28,4 +33,7 @@ __all__ = [
     "cfg_model_fn",
     "ddim_sample_loop",
     "p_sample_loop",
+    "LossSecondMomentResampler",
+    "UniformSampler",
+    "create_named_schedule_sampler",
 ]
