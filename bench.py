@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# cache compiled programs across runs (first XL/2 compile is minutes here)
+jax.config.update("jax_compilation_cache_dir", "/tmp/fit_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build(model_name, dtype, attn_backend, num_classes=1000):
     from fit_tpu.models import create_fit

@@ -277,3 +277,28 @@ class LatentLoader:
 
     def __iter__(self):
         return self.epoch_batches()
+
+    def prefetched(self, epoch: Optional[int] = None, num_threads: int = 4, depth: int = 8):
+        """Iterate with background-thread prefetch (the host-side replacement
+        for torch DataLoader workers: IO + patchify overlap device steps)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def producer():
+            try:
+                for b in self.epoch_batches(epoch):
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
