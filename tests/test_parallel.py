@@ -1,0 +1,98 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh: partition rules,
+TP/FSDP numerical equivalence with the unsharded model, and the multichip
+training-step dryrun."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fit_tpu.models import FiT
+from fit_tpu.parallel import make_mesh, param_partition_spec, shard_params
+
+
+def tiny_model():
+    return FiT(
+        patch_size=2, in_channels=4, hidden_size=64, depth=2, num_heads=4,
+        num_classes=8, class_dropout_prob=0.0, attn_backend="xla",
+    )
+
+
+def make_inputs(b=8, t=32, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = jnp.asarray(rng.normal(size=(b, t, 16)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(b, t, 16)).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None] < rng.integers(8, t + 1, size=(b, 1)))
+    tvec = jnp.asarray(rng.integers(0, 1000, size=(b,)).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, 8, size=(b,)).astype(np.int32))
+    return tokens, tvec, y, pos, mask
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = tiny_model()
+    args = make_inputs()
+    params = model.init({"params": jax.random.PRNGKey(0)}, *args, train=True)
+    leaves, td = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree.unflatten(
+        td, [0.05 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)]
+    )
+    return model, params, args
+
+
+def test_partition_rules(model_params):
+    _, params, _ = model_params
+    specs = param_partition_spec(params, tp=True, fsdp=False)
+    flat = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    def find(sub):
+        return [v for k, v in flat.items() if sub in k]
+
+    assert all(s == P(None, "model") for s in find("qkv']['kernel"))
+    assert all(s == P("model",) for s in find("qkv']['bias"))
+    assert all(s == P("model", None) for s in find("proj']['kernel"))
+    assert all(s == P(None, "model") for s in find("fc1_g']['kernel"))
+    assert all(s == P("model", None) for s in find("ffn']['fc2']['kernel"))
+    # timestep-embedder MLP stays replicated (tiny, per-sample)
+    assert all(s == P() for s in find("t_embedder"))
+    # replicated: embedders, adaLN, final layer
+    assert all(s == P() for s in find("adaLN"))
+    assert all(s == P() for s in find("x_embedder"))
+
+
+@pytest.mark.parametrize("tp,fsdp", [(2, False), (1, True), (2, True), (4, True)])
+def test_sharded_forward_matches_unsharded(model_params, tp, fsdp):
+    model, params, args = model_params
+    want = np.asarray(model.apply(params, *args, train=True))
+
+    mesh = make_mesh(tp=tp)
+    with mesh:
+        sharded, specs = shard_params(params, mesh, tp=tp > 1, fsdp=fsdp)
+        dev_args = jax.device_put(args, NamedSharding(mesh, P("data")))
+        got = jax.jit(lambda p, *a: model.apply(p, *a, train=True))(sharded, *dev_args)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_sharded_params_actually_sharded(model_params):
+    _, params, _ = model_params
+    mesh = make_mesh(tp=2)
+    sharded, specs = shard_params(params, mesh, tp=True, fsdp=True)
+    qkv = sharded["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    spec = specs["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert spec == P("data", "model")
+    # 8 devices: each holds 1/8 of the kernel
+    shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+    assert shard_shapes == {(64 // 4, 192 // 2)}
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
