@@ -239,6 +239,7 @@ class LatentLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         buckets: Sequence[int] = TOKEN_BUCKETS,
+        native: bool = True,
     ) -> None:
         assert mode in ("pad", "bucket")
         self.ds = dataset
@@ -251,6 +252,15 @@ class LatentLoader:
         self.num_shards = num_shards
         self.buckets = buckets
         self.epoch = 0
+        # native C++ packer: pad-mode .npy datasets only (see data/native)
+        self._native = False
+        if native and mode == "pad" and all(p.endswith(".npy") for p, _ in dataset.entries):
+            try:
+                from fit_tpu.data.native import get_lib
+
+                self._native = get_lib() is not None
+            except Exception:
+                self._native = False
 
     def __len__(self) -> int:
         per_shard = len(self.ds) // self.num_shards
@@ -268,12 +278,49 @@ class LatentLoader:
         limit = (len(shard) // self.batch_size) * self.batch_size if self.drop_last else len(shard)
         for start in range(0, limit, self.batch_size):
             idxs = shard[start : start + self.batch_size]
-            items = [self.ds.__getitem__(int(i), rng=rng) for i in idxs]
-            if self.mode == "pad":
-                yield pad_batch(items, self.ds.max_length)
+            if self._native:
+                yield self._pad_batch_native(idxs, rng)
             else:
-                yield bucket_batch(items, rng, self.buckets)
+                items = [self.ds.__getitem__(int(i), rng=rng) for i in idxs]
+                if self.mode == "pad":
+                    yield pad_batch(items, self.ds.max_length)
+                else:
+                    yield bucket_batch(items, rng, self.buckets)
         self.epoch = epoch + 1
+
+    def _pad_batch_native(self, idxs, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Pad-mode batch via the C++ packer (load/convert/flip/patchify/pad
+        in OpenMP threads); RoPE tables filled from the host-side cache."""
+        from fit_tpu.data.native import pack_batch_native
+
+        ds = self.ds
+        paths, labels = [], []
+        for i in idxs:
+            p, cls = ds.entries[int(i)]
+            paths.append(p)
+            labels.append(ds.label_mapping[cls])
+        flips = (
+            (rng.random(len(paths)) < 0.5).astype(np.int32)
+            if ds.hflip
+            else np.zeros(len(paths), np.int32)
+        )
+        dtok = ds.patch_size * ds.patch_size * ds.channels
+        tokens, mask, hw, _lengths = pack_batch_native(
+            paths, flips, ds.patch_size, ds.max_length, dtok
+        )
+        pos = np.zeros((len(paths), ds.max_length, ds.pos_dim), np.float32)
+        for i, (h, w) in enumerate(hw):
+            tab = ds._pos_table(int(h) // ds.patch_size, int(w) // ds.patch_size)
+            t = min(tab.shape[0], ds.max_length)
+            pos[i, :t] = tab[:t]
+        return {
+            "tokens": tokens,
+            "pos": pos,
+            "mask": mask,
+            "label": np.asarray(labels, np.int32),
+            "h": hw[:, 0].copy(),
+            "w": hw[:, 1].copy(),
+        }
 
     def __iter__(self):
         return self.epoch_batches()

@@ -1,0 +1,70 @@
+"""Native C++ packer tests: bit-equality with the numpy path and loader
+integration. Skipped when no compiler is available."""
+
+import numpy as np
+import pytest
+
+from fit_tpu.core.geometry import patchify_np
+from fit_tpu.data import LatentFolderDataset, LatentLoader
+from fit_tpu.data.native import get_lib, pack_batch_native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no C++ toolchain for the native packer")
+    return lib
+
+
+@pytest.fixture(scope="module")
+def latent_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nat_latents")
+    rng = np.random.default_rng(0)
+    shapes = [(4, 30, 34), (4, 22, 30), (4, 32, 32), (4, 34, 32)]
+    for cls in ["a", "b"]:
+        d = root / cls
+        d.mkdir()
+        for i, dt in enumerate([np.float16, np.float32] * 2):
+            c, h, w = shapes[i % len(shapes)]
+            np.save(d / f"x{i}.npy", rng.normal(size=(c, h, w)).astype(dt))
+    return str(root)
+
+
+def test_pack_matches_numpy(lib, latent_root):
+    ds = LatentFolderDataset(latent_root, hflip=False)
+    paths = [p for p, _ in ds.entries]
+    flips = np.zeros(len(paths), np.int32)
+    tokens, mask, hw, lengths = pack_batch_native(paths, flips, 2, 256, 16)
+    for i, p in enumerate(paths):
+        lat = np.load(p).astype(np.float32)
+        want = patchify_np(lat, 2)
+        t_true = want.shape[0]
+        t = min(t_true, 256)  # over-long latents truncate to the budget
+        assert lengths[i] == t_true
+        assert (hw[i] == lat.shape[1:]).all()
+        np.testing.assert_array_equal(tokens[i, :t], want[:t])
+        np.testing.assert_array_equal(tokens[i, t:], 0.0)
+        assert mask[i, :t].all() and not mask[i, t:].any()
+
+
+def test_pack_flip_matches_numpy(lib, latent_root):
+    ds = LatentFolderDataset(latent_root, hflip=False)
+    path = ds.entries[0][0]
+    tokens, _, _, lengths = pack_batch_native([path], np.array([1]), 2, 256, 16)
+    lat = np.load(path).astype(np.float32)[..., ::-1]
+    want = patchify_np(np.ascontiguousarray(lat), 2)
+    np.testing.assert_array_equal(tokens[0, : lengths[0]], want)
+
+
+def test_loader_native_vs_python(lib, latent_root):
+    """Same seed -> identical batches through both paths."""
+    ds_n = LatentFolderDataset(latent_root)
+    ds_p = LatentFolderDataset(latent_root)
+    ln = LatentLoader(ds_n, 4, seed=3, native=True)
+    lp = LatentLoader(ds_p, 4, seed=3, native=False)
+    assert ln._native
+    bn = next(iter(ln))
+    bp = next(iter(lp))
+    for k in ("tokens", "pos", "mask", "label", "h", "w"):
+        np.testing.assert_array_equal(bn[k], bp[k], err_msg=k)
