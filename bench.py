@@ -30,7 +30,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def build(model_name, dtype, attn_backend, num_classes=1000):
     from fit_tpu.models import create_fit
 
-    return create_fit(model_name, dtype=dtype, attn_backend=attn_backend, num_classes=num_classes)
+    # scan-over-layers: same math, ~depth x faster compiles (critical on
+    # remote-compile backends where an unrolled XL/2 takes many minutes)
+    return create_fit(
+        model_name, dtype=dtype, attn_backend=attn_backend,
+        num_classes=num_classes, scan_blocks=True,
+    )
 
 
 def init_params(model, head_dim):

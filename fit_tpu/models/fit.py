@@ -39,7 +39,47 @@ from fit_tpu.models.layers import (
 
 Array = jnp.ndarray
 
-__all__ = ["FiT", "FiT_models", "create_fit"]
+__all__ = [
+    "FiT",
+    "FiT_models",
+    "create_fit",
+    "stack_block_params",
+    "unstack_block_params",
+]
+
+
+class _ScanBlockBody(nn.Module):
+    """scan-compatible wrapper: FiTBlock as (carry, ()) -> (carry, None)."""
+
+    block_cls: Any
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x, c, mask, freqs_cis):
+        x = self.block_cls(**self.block_kwargs, name="block")(x, c, mask, freqs_cis)
+        return x, None
+
+
+def stack_block_params(params, depth: int):
+    """Convert an unrolled param tree (blocks_0..blocks_{d-1}) to the
+    scan-over-layers layout (stacked under "blocks"/"block")."""
+    import jax as _jax
+
+    p = dict(params["params"])
+    blocks = [p.pop(f"blocks_{i}") for i in range(depth)]
+    p["blocks"] = {"block": _jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)}
+    return {**params, "params": p}
+
+
+def unstack_block_params(params, depth: int):
+    """Inverse of :func:`stack_block_params`."""
+    import jax as _jax
+
+    p = dict(params["params"])
+    stacked = p.pop("blocks")["block"]
+    for i in range(depth):
+        p[f"blocks_{i}"] = _jax.tree.map(lambda x, i=i: x[i], stacked)
+    return {**params, "params": p}
 
 
 class FiT(nn.Module):
@@ -72,6 +112,12 @@ class FiT(nn.Module):
     attn_backend: str = "auto"
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+    # scan-over-layers: one compiled block body + stacked (depth, ...) params
+    # instead of `depth` unrolled copies. Same math; ~depth x smaller HLO and
+    # compile time (minutes -> seconds for XL/2 on remote-compile backends).
+    # Param layout differs (blocks are stacked under "blocks"); convert with
+    # `stack_block_params` / `unstack_block_params`.
+    scan_blocks: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -115,18 +161,30 @@ class FiT(nn.Module):
         )(y, train=train)
         c = t_emb + y_emb
 
+        block_kwargs = dict(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            ffn=self.ffn,
+            use_rope=self.pos_kind == "rotate",
+            attn_backend=self.attn_backend,
+            dtype=self.dtype,
+        )
         block_cls = nn.remat(FiTBlock) if self.remat else FiTBlock
-        for i in range(self.depth):
-            x = block_cls(
-                self.hidden_size,
-                self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                ffn=self.ffn,
-                use_rope=self.pos_kind == "rotate",
-                attn_backend=self.attn_backend,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
+        if self.scan_blocks:
+            scan_cls = nn.scan(
+                _ScanBlockBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.depth,
+            )
+            x, _ = scan_cls(
+                block_cls=block_cls, block_kwargs=block_kwargs, name="blocks"
             )(x, c, mask, freqs_cis)
+        else:
+            for i in range(self.depth):
+                x = block_cls(**block_kwargs, name=f"blocks_{i}")(x, c, mask, freqs_cis)
 
         x = FinalLayer(
             self.hidden_size, self.patch_size, self.out_channels, dtype=self.dtype, name="final"

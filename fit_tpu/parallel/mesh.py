@@ -101,9 +101,10 @@ def param_partition_spec(params, *, tp: bool = True, fsdp: bool = False):
 
     def spec_for(path_tuple, leaf) -> P:
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path_tuple)
+        matrix_ndim = 2  # the rules below describe (in, out) matrices
         spec = _match(_TP_RULES, path) if tp else None
-        if spec is not None and fsdp and leaf.ndim == 2:
-            # combine: fsdp on the un-touched dim
+        if spec is not None and fsdp and leaf.ndim >= matrix_ndim:
+            # combine: fsdp on the un-touched matrix dim
             if spec == P(None, MODEL_AXIS):
                 spec = P(DATA_AXIS, MODEL_AXIS)
             elif spec == P(MODEL_AXIS, None):
@@ -112,7 +113,10 @@ def param_partition_spec(params, *, tp: bool = True, fsdp: bool = False):
             spec = _match(_FSDP_RULES, path)
         if spec is None:
             spec = P()
-        # never shard a dim the leaf doesn't have or that doesn't divide
+        # right-align: stacked scan-over-layers params carry a leading depth
+        # dim that stays unsharded (e.g. (depth, in, out) kernels)
+        if any(a is not None for a in spec) and leaf.ndim > len(spec):
+            spec = P(*([None] * (leaf.ndim - len(spec)) + list(spec)))
         if leaf.ndim < len([a for a in spec if a is not None]):
             return P()
         return spec
