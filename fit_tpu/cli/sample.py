@@ -39,7 +39,7 @@ def main():
 
     model = create_fit(
         cfg.model, num_classes=cfg.num_classes, attn_backend=cfg.attn_backend,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, scan_blocks=cfg.scan_blocks,
     )
 
     # restore params (EMA by default, like the reference's EMA-swapped eval)

@@ -41,6 +41,7 @@ class Trainer:
             attn_backend=cfg.attn_backend,
             dtype=dtype,
             remat=cfg.remat,
+            scan_blocks=cfg.scan_blocks,
         )
         self.head_dim = self.model.hidden_size // self.model.num_heads
         self.diffusion = create_diffusion(None)  # 1000-step training process
@@ -144,12 +145,18 @@ class Trainer:
         imgs_since = 0
         done = False
 
+        host_step = int(state.step)
         for epoch in range(self.start_epoch, cfg.epochs):
-            for batch in self.loader.epoch_batches(epoch):
+            for batch in self.loader.prefetched(epoch, num_threads=cfg.num_workers):
                 rng, step_rng = jax.random.split(rng)
+                if cfg.profile_dir and host_step == 10:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 state, metrics = self.train_step(state, self._device_batch(batch), step_rng)
+                host_step += 1
+                if cfg.profile_dir and host_step == 20:
+                    jax.profiler.stop_trace()
                 imgs_since += batch["tokens"].shape[0]
-                step = int(metrics["step"])
+                step = host_step
                 if step % log_every == 0:
                     loss = float(metrics["loss"])
                     dt = time.time() - t_last

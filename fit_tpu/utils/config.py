@@ -53,6 +53,8 @@ class TrainConfig:
     fsdp: bool = False
     attn_backend: str = "auto"
     remat: bool = False
+    scan_blocks: bool = True  # scan-over-layers (stacked block params)
+    profile_dir: str = ""  # capture a jax.profiler trace of steps 10-20
 
 
 @dataclasses.dataclass
@@ -72,6 +74,7 @@ class SampleConfig:
     global_seed: int = 0
     use_ema: bool = True
     attn_backend: str = "auto"
+    scan_blocks: bool = True  # must match the training layout
 
 
 @dataclasses.dataclass
