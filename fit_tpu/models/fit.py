@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fit_tpu.core.geometry import patchify, unpatchify
@@ -150,6 +151,18 @@ class FiT(nn.Module):
             freqs_cis = None
         else:
             freqs_cis = pos
+            # fused RoPE+attention kernel: split the interleaved table into
+            # pair-duplicated cos/sin ONCE for all blocks (ops.fused_attention)
+            t_len = x.shape[1]
+            use_fused = (
+                self.attn_backend in ("auto", "fused")
+                and t_len <= 1024
+                and (jax.default_backend() == "tpu" or self.attn_backend == "fused")
+            )
+            if use_fused:
+                from fit_tpu.ops.fused_attention import split_rope_tables
+
+                freqs_cis = split_rope_tables(pos)
 
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(t)
         y_emb = LabelEmbedder(

@@ -34,7 +34,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fit_tpu.ops.attention import masked_attention
+from fit_tpu.ops.attention import mask_to_lengths, masked_attention
+from fit_tpu.ops.fused_attention import rope_flash_attention
 
 Array = jnp.ndarray
 Dtype = Any
@@ -78,6 +79,24 @@ def apply_rope(q: Array, k: Array, freqs_cis: Array) -> "tuple[Array, Array]":
         real = a * cos - bb * sin
         imag = bb * cos + a * sin
         return jnp.stack([real, imag], axis=-1).reshape(b, h, t, d).astype(dtype)
+
+    return rot(q), rot(k)
+
+
+def apply_rope_bthd(q: Array, k: Array, freqs_cis: Array) -> "tuple[Array, Array]":
+    """RoPE in the layout-preserving (B, T, H, d) convention (no head
+    transpose needed). Same math/rounding as :func:`apply_rope`."""
+    b, t, h, d = q.shape
+    dtype = q.dtype
+    fc = freqs_cis.reshape(freqs_cis.shape[0], t, 1, d // 2, 2).astype(jnp.float32)
+    cos, sin = fc[..., 0], fc[..., 1]
+
+    def rot(x):
+        xf = x.astype(jnp.float32).reshape(b, t, h, d // 2, 2)
+        a, bb = xf[..., 0], xf[..., 1]
+        real = a * cos - bb * sin
+        imag = bb * cos + a * sin
+        return jnp.stack([real, imag], axis=-1).reshape(b, t, h, d).astype(dtype)
 
     return rot(q), rot(k)
 
@@ -213,17 +232,52 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(
             3 * self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="qkv"
         )(x)
-        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, d)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        qkv = qkv.reshape(b, n, 3, h, d)  # no head transpose: slices are free
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
+
+        # Fused RoPE+attention kernel path: FiT passes pre-split (cos, sin)
+        # tables instead of the raw interleaved table (see FiT.__call__).
+        if isinstance(freqs_cis, tuple):
+            cos, sin = freqs_cis
+            lengths = (
+                mask_to_lengths(mask) if mask is not None else jnp.full((b,), n, jnp.int32)
+            )
+            out = rope_flash_attention(q, k, v, cos, sin, lengths, d**-0.5)
+            out = out.reshape(b, n, self.dim)
+            return nn.Dense(
+                self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="proj"
+            )(out)
+
+        backend = self.attn_backend
+        if backend == "auto":
+            # XLA's batched attention beats a blocked kernel at short T (the
+            # whole score tile fits VMEM); the blocked flash kernel pays off
+            # once T is large and/or padding is heavy (block skipping).
+            on_tpu = jax.default_backend() == "tpu"
+            backend = "flash" if (on_tpu and n >= 512 and n % 128 == 0) else "xla"
 
         if self.use_rope:
             assert freqs_cis is not None, "RoPE attention requires freqs_cis"
-            q, k = apply_rope(q, k, freqs_cis)
+            q, k = apply_rope_bthd(q, k, freqs_cis)
 
-        out = masked_attention(
-            q, k, v, mask, scale=d**-0.5, backend=self.attn_backend
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        if backend == "xla":
+            # layout-preserving einsums: heads stay in place, output lands in
+            # (B, N, H*d) with no materialized transposes
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * jnp.float32(d**-0.5)
+            if mask is not None:
+                scores = jnp.where(mask[:, None, None, :], scores, float("-inf"))
+            weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+            ).astype(q.dtype)
+            out = out.reshape(b, n, self.dim)
+        else:
+            qh, kh, vh = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+            out = masked_attention(qh, kh, vh, mask, scale=d**-0.5, backend=backend)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+
         return nn.Dense(
             self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="proj"
         )(out)

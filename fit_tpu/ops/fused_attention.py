@@ -1,0 +1,210 @@
+"""Fused 2D-RoPE + masked attention Pallas kernel (the FiT hot op).
+
+One program per batch element computes, per head, entirely in VMEM:
+
+    q_rot = q * cos + (q @ S) * sin        (RoPE, fp32)
+    k_rot = k * cos + (k @ S) * sin
+    out   = softmax(mask(q_rot k_rot^T * scale)) v
+
+eliminating three HBM round trips the XLA path pays per block: the fp32
+rotated q/k tensors and — the big one — the materialized ``(B, H, T, T)``
+fp32 score tensor (at XL/2 shapes that alone is ~270 MB per block per step).
+
+Design notes (TPU-first):
+* The pairwise rotation ``(a, b) -> (-b, a)`` is expressed as a matmul with
+  a constant (d, d) permutation-sign matrix ``S`` — on TPU a lane shuffle is
+  cheapest as a tiny MXU op, and each output lane is a single product so the
+  values are bit-identical to the reference's ``a*c - b*d`` / ``b*c + a*d``
+  complex multiply (``/root/reference/FiT/models/fit.py:144-174``).
+* ``cos`` / ``sin`` arrive pre-duplicated per lane pair, (B, T, d), built
+  once per forward from the interleaved RoPE table — the per-block strided
+  deinterleave the XLA path does is hoisted out of the layer stack.
+* The validity mask enters as per-sequence lengths (FiT masks are prefix
+  masks by construction) and masks key columns with -inf, matching the
+  reference's key-only masking semantics (``fit.py:184-185``).
+* Forward-only Pallas; gradients recompute via exact XLA einsum math
+  (flash-style: no O(T^2) residuals are saved).
+
+Shapes: q, k, v, out are (B, T, H, d) — the layout-preserving convention of
+``fit_tpu.models.layers.SelfAttention`` (no head transpose anywhere).
+Supported when T*T fp32 scores fit VMEM alongside a head (T <= 1024 for
+d = 64); longer sequences use the blocked kernel in ``ops.attention``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+__all__ = ["rope_flash_attention", "split_rope_tables", "rotation_matrix"]
+
+NEG_INF = float("-inf")
+
+
+def rotation_matrix(d: int, dtype=jnp.float32) -> Array:
+    """(d, d) constant: ``x @ S`` maps lane pairs (a, b) -> (-b, a)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    plus = (c == r + 1) & (r % 2 == 0)
+    minus = (c == r - 1) & (r % 2 == 1)
+    return plus.astype(dtype) - minus.astype(dtype)
+
+
+def split_rope_tables(freqs_cis: Array) -> "tuple[Array, Array]":
+    """Interleaved (B, T, d) [cos0, sin0, cos1, sin1, ...] table ->
+    pair-duplicated ``cos, sin`` each (B, T, d) fp32."""
+    fc = freqs_cis.astype(jnp.float32)
+    cos = jnp.repeat(fc[..., 0::2], 2, axis=-1)
+    sin = jnp.repeat(fc[..., 1::2], 2, axis=-1)
+    return cos, sin
+
+
+def _kernel(
+    lengths_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, 1, T, d) — one (batch, head) tile
+    k_ref,
+    v_ref,
+    cos_ref,  # (1, T, d) f32 — shared across heads (pipeline caches per b)
+    sin_ref,
+    o_ref,  # (1, 1, T, d)
+    *,
+    scale: float,
+):
+    b = pl.program_id(0)
+    t = q_ref.shape[2]
+    d = q_ref.shape[3]
+    length = lengths_ref[b]
+
+    cos = cos_ref[0]  # (T, d)
+    sin = sin_ref[0]
+    s_rot = rotation_matrix(d)
+
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (T, T)
+
+    def rope(x):
+        xr = jax.lax.dot_general(
+            x, s_rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return x * cos + xr * sin
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    qr = rope(q) * scale
+    kr = rope(k)
+    s = jax.lax.dot_general(
+        qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + neg_mask
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _forward(q, k, v, cos, sin, lengths, scale):
+    """q, k, v: (B, H, T, d) here (kernel-internal layout)."""
+    b, h, t, d = q.shape
+    kernel = functools.partial(_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, q, k, v, cos, sin)
+
+
+def _xla_reference(q, k, v, cos, sin, lengths, scale):
+    """Same math in XLA (used for the backward recompute and as the
+    correctness oracle)."""
+    qf, kf, vf = (a.astype(jnp.float32) for a in (q, k, v))
+    d = q.shape[-1]
+    s_rot = rotation_matrix(d)
+
+    def rope(x):
+        return x * cos[:, :, None, :] + jnp.einsum(
+            "bthd,de->bthe", x, s_rot, preferred_element_type=jnp.float32
+        ) * sin[:, :, None, :]
+
+    qr = rope(qf)
+    kr = rope(kf)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qr, kr, preferred_element_type=jnp.float32) * scale
+    t = q.shape[1]
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, vf, preferred_element_type=jnp.float32)
+    return out, (qr, kr, p)
+
+
+def _forward_bthd(q, k, v, cos, sin, lengths, scale):
+    qh, kh, vh = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+    out = _forward(qh, kh, vh, cos, sin, lengths, scale)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def rope_flash_attention(q, k, v, cos, sin, lengths, scale):
+    """Fused RoPE + masked attention. q/k/v: (B, T, H, d); cos/sin: (B, T, d)
+    fp32 pair-duplicated tables (see :func:`split_rope_tables`); lengths:
+    (B,) int32 prefix-valid lengths. Returns (B, T, H, d) in q's dtype."""
+    return _forward_bthd(q, k, v, cos, sin, lengths, scale)
+
+
+def _fwd(q, k, v, cos, sin, lengths, scale):
+    out = _forward_bthd(q, k, v, cos, sin, lengths, scale)
+    return out, (q, k, v, cos, sin, lengths)
+
+
+def _bwd(scale, res, g):
+    q, k, v, cos, sin, lengths = res
+    _, (qr, kr, p) = _xla_reference(q, k, v, cos, sin, lengths, scale)
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+    delta = jnp.sum(gf * o, axis=-1)  # (B, T, H)
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])  # (B, H, Tq, Tk)
+    dqr = jnp.einsum("bhqk,bkhd->bqhd", ds, kr, preferred_element_type=jnp.float32) * scale
+    dkr = jnp.einsum("bhqk,bqhd->bkhd", ds, qr, preferred_element_type=jnp.float32) * scale
+
+    d = q.shape[-1]
+    s_rot = rotation_matrix(d)
+
+    def rope_t(gx):  # VJP of x -> x*cos + (x@S)*sin  is  g*cos + (g*sin)@S^T
+        return gx * cos[:, :, None, :] + jnp.einsum(
+            "bthd,ed->bthe", gx * sin[:, :, None, :], s_rot,
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = rope_t(dqr).astype(q.dtype)
+    dk = rope_t(dkr).astype(k.dtype)
+    return dq, dk, dv.astype(v.dtype), None, None, None
+
+
+rope_flash_attention.defvjp(_fwd, _bwd)

@@ -96,6 +96,25 @@ class FiTSampler:
         self.diffusion: GaussianDiffusion = create_diffusion(str(self.num_sampling_steps))
         # h, w are static (each resolution compiles its own program)
         self._jitted = jax.jit(self._sample_latents, static_argnums=(2, 3))
+        self._cast_cache = (None, None)
+
+    def _cast_params(self, params):
+        """Sampling-time params live in the compute dtype: casting once here
+        saves a per-block fp32->bf16 weight cast inside every denoise step
+        (28 x ~24M params per step at XL/2). Cached by identity."""
+        if self.model.dtype == jnp.float32:
+            return params
+        key = id(params)
+        if self._cast_cache[0] == key:
+            return self._cast_cache[1]
+        cast = jax.tree.map(
+            lambda x: x.astype(self.model.dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            params,
+        )
+        self._cast_cache = (key, cast)
+        return cast
 
     def _head_dim(self) -> int:
         return self.model.hidden_size // self.model.num_heads
@@ -154,4 +173,4 @@ class FiTSampler:
         mask_np = create_mask(valid_t, self.max_length, 2 * n)
         pos = jnp.asarray(np.broadcast_to(pos_np, (2 * n, seq, pos_np.shape[-1])).copy())
         mask = jnp.asarray(mask_np)
-        return self._jitted(params, z, h, w, labels, pos, mask, rng_loop)
+        return self._jitted(self._cast_params(params), z, h, w, labels, pos, mask, rng_loop)

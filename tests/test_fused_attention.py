@@ -1,0 +1,130 @@
+"""Fused RoPE+attention kernel: equivalence with the unfused reference path
+(apply_rope + masked softmax attention), gradients, and model integration."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fit_tpu.core.pos_embed import rope_freqs_2d
+from fit_tpu.models.layers import apply_rope_bthd
+from fit_tpu.ops.attention import masked_attention
+from fit_tpu.ops.fused_attention import (
+    rope_flash_attention,
+    rotation_matrix,
+    split_rope_tables,
+)
+
+B, T, H, D = 2, 64, 3, 16
+
+
+def make_inputs(seed=0, lengths=(48, 64)):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    fc = np.zeros((T, D), np.float32)
+    grid = rope_freqs_2d(D, 8, 8)
+    fc[: grid.shape[0]] = grid[:T]
+    fc = jnp.asarray(np.broadcast_to(fc, (B, T, D)).copy())
+    lengths = jnp.asarray(lengths, jnp.int32)
+    return q, k, v, fc, lengths
+
+
+def unfused_reference(q, k, v, fc, lengths):
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    qh, kh, vh = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+    qh, kh = apply_rope_bthd(
+        qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3), fc
+    )
+    qh, kh = qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3)
+    out = masked_attention(qh, kh, vh, mask, scale=D**-0.5, backend="xla")
+    return out.transpose(0, 2, 1, 3)  # back to (B, T, H, D)
+
+
+def test_rotation_matrix():
+    s = np.asarray(rotation_matrix(6))
+    x = np.array([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]], np.float32)
+    rot = x @ s
+    np.testing.assert_array_equal(rot, [[-2.0, 1.0, -4.0, 3.0, -6.0, 5.0]])
+
+
+def test_split_rope_tables():
+    fc = jnp.asarray(np.arange(8, dtype=np.float32).reshape(1, 1, 8))
+    cos, sin = split_rope_tables(fc)
+    np.testing.assert_array_equal(np.asarray(cos)[0, 0], [0, 0, 2, 2, 4, 4, 6, 6])
+    np.testing.assert_array_equal(np.asarray(sin)[0, 0], [1, 1, 3, 3, 5, 5, 7, 7])
+
+
+def test_fused_matches_unfused():
+    q, k, v, fc, lengths = make_inputs()
+    cos, sin = split_rope_tables(fc)
+    got = rope_flash_attention(q, k, v, cos, sin, lengths, D**-0.5)
+    want = unfused_reference(q, k, v, fc, lengths)
+    # valid rows (all rows are computed with key masking in both paths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_mask_semantics():
+    """Padded key values must not affect valid-row outputs."""
+    q, k, v, fc, lengths = make_inputs(lengths=(30, 50))
+    cos, sin = split_rope_tables(fc)
+    out1 = rope_flash_attention(q, k, v, cos, sin, lengths, D**-0.5)
+    k2 = k.at[:, 50:].set(99.0)
+    v2 = v.at[:, 50:].set(-99.0)
+    k2 = k2.at[0, 30:].set(77.0)
+    v2 = v2.at[0, 30:].set(-77.0)
+    out2 = rope_flash_attention(q, k2, v2, cos, sin, lengths, D**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(out1)[0, :30], np.asarray(out2)[0, :30], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1)[1, :50], np.asarray(out2)[1, :50], atol=1e-6
+    )
+
+
+def test_fused_gradients_match_unfused():
+    q, k, v, fc, lengths = make_inputs()
+    cos, sin = split_rope_tables(fc)
+    qmask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[..., None, None]
+
+    def loss_fused(q, k, v):
+        o = rope_flash_attention(q, k, v, cos, sin, lengths, D**-0.5)
+        return jnp.sum(jnp.sin(o) * qmask)
+
+    def loss_ref(q, k, v):
+        o = unfused_reference(q, k, v, fc, lengths)
+        return jnp.sum(jnp.sin(o) * qmask)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_model_fused_backend_matches_xla():
+    """FiT with attn_backend='fused' == attn_backend='xla' numerically."""
+    from fit_tpu.models import FiT
+
+    kw = dict(
+        patch_size=2, in_channels=4, hidden_size=48, depth=2, num_heads=3,
+        num_classes=5, class_dropout_prob=0.0,
+    )
+    m_x = FiT(**kw, attn_backend="xla")
+    m_f = FiT(**kw, attn_backend="fused")
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.normal(size=(2, T, 16)).astype(np.float32))
+    pos = jnp.asarray(np.broadcast_to(rope_freqs_2d(16, 8, 8), (2, T, 16)).copy())
+    mask = jnp.asarray(np.arange(T)[None] < np.array([[40], [64]]))
+    t = jnp.asarray([3, 700])
+    y = jnp.asarray([1, 2])
+
+    params = m_x.init({"params": jax.random.PRNGKey(0)}, tokens, t, y, pos, mask, train=True)
+    leaves, td = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree.unflatten(
+        td, [0.05 * jax.random.normal(kk, l.shape, l.dtype) for kk, l in zip(keys, leaves)]
+    )
+    want = np.asarray(m_x.apply(params, tokens, t, y, pos, mask, train=True))
+    got = np.asarray(m_f.apply(params, tokens, t, y, pos, mask, train=True))
+    np.testing.assert_allclose(got[:, :40], want[:, :40], atol=3e-5)
