@@ -71,7 +71,9 @@ def measure(model, params, batch, steps, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="FiT-XL/2")
-    ap.add_argument("--batch", type=int, default=32)
+    # throughput peaks at small batch (bandwidth-bound regime; see sweep in
+    # PROGRESS notes) — batch 8 is the measured optimum on v5e
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--baseline-steps", type=int, default=25)
     ap.add_argument("--skip-baseline", action="store_true")
