@@ -83,20 +83,26 @@ def main():
     if not on_tpu:  # smoke mode
         args.model, args.batch, args.steps, args.baseline_steps = "FiT-S/2", 2, 4, 4
 
-    # our configuration: bf16 + flash kernel
-    model = build(args.model, jnp.bfloat16, "flash" if on_tpu else "xla")
+    # our configuration: bf16 + the fused RoPE+attention kernel
+    model = build(args.model, jnp.bfloat16, "auto")
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
     imgs_per_sec, step_lat = measure(model, params, args.batch, args.steps)
 
     vs_baseline = 1.0
     if not args.skip_baseline:
+        # XLA-naive baseline: the reference recipe transplanted to XLA —
+        # fp32 tensors (reference torch uses TF32-class matmuls, which this
+        # terminal's --xla_allow_excess_precision mirrors), materialized
+        # (B,H,T,T) scores, separate RoPE. Measured at the SAME step count
+        # as a re-measure of ours so the ratio is apples-to-apples.
+        _, our_lat_short = measure(model, params, args.batch, args.baseline_steps, seed=50)
         naive = build(args.model, jnp.float32, "xla")
         naive_params = init_params(naive, head_dim)
-        _, naive_step_lat = measure(
+        _, naive_lat_short = measure(
             naive, naive_params, args.batch, args.baseline_steps, seed=100
         )
-        vs_baseline = naive_step_lat / step_lat
+        vs_baseline = naive_lat_short / our_lat_short
 
     print(json.dumps({
         "metric": f"images/sec/chip {args.model} 256x256 {args.steps}-step DDPM cfg",

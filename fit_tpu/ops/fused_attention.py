@@ -68,14 +68,15 @@ def split_rope_tables(freqs_cis: Array) -> "tuple[Array, Array]":
 
 def _kernel(
     lengths_ref,  # (B,) int32 scalar prefetch
-    q_ref,  # (1, 1, T, d) — one (batch, head) tile
+    q_ref,  # (1, H, T, d) — one batch row, all heads
     k_ref,
     v_ref,
-    cos_ref,  # (1, T, d) f32 — shared across heads (pipeline caches per b)
+    cos_ref,  # (1, T, d) f32 — loaded once per row, shared by all heads
     sin_ref,
-    o_ref,  # (1, 1, T, d)
+    o_ref,  # (1, H, T, d)
     *,
     scale: float,
+    num_heads: int,
 ):
     b = pl.program_id(0)
     t = q_ref.shape[2]
@@ -95,45 +96,46 @@ def _kernel(
         )
         return x * cos + xr * sin
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    qr = rope(q) * scale
-    kr = rope(k)
-    s = jax.lax.dot_general(
-        qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s + neg_mask
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    for h in range(num_heads):  # static unroll; leading-index head slices
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        qr = rope(q) * scale
+        kr = rope(k)
+        s = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + neg_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def _forward(q, k, v, cos, sin, lengths, scale):
     """q, k, v: (B, H, T, d) here (kernel-internal layout)."""
     b, h, t, d = q.shape
-    kernel = functools.partial(_kernel, scale=scale)
+    kernel = functools.partial(_kernel, scale=scale, num_heads=h)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, h),
+            grid=(b,),
             in_specs=[
-                pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
-                pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
-                pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
+                pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, t, d), lambda i, j, lens: (i, j, 0, 0)),
+            out_specs=pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, q, k, v, cos, sin)
