@@ -83,15 +83,20 @@ def preprocess_folder(
     sample_posterior: bool = True,
     batch_size: int = 8,
     progress: bool = True,
+    vae=None,
 ) -> List[str]:
-    """Encode every image under ``dataset_path``; returns written paths."""
+    """Encode every image under ``dataset_path``; returns written paths.
+
+    ``vae``: an ``AutoencoderKL`` instance matching ``vae_params``; defaults
+    to the standard sd-vae configuration.
+    """
     import jax
     import jax.numpy as jnp
     from PIL import Image
 
     from fit_tpu.vae import AutoencoderKL
 
-    vae = AutoencoderKL()
+    vae = vae if vae is not None else AutoencoderKL()
     encode = jax.jit(
         lambda p, x, k: vae.apply(p, x, k, method=AutoencoderKL.encode)
         if sample_posterior

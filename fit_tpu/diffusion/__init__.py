@@ -7,12 +7,18 @@ from fit_tpu.diffusion.gaussian import (
     LossType,
     ModelMeanType,
     ModelVarType,
+    continuous_gaussian_log_likelihood,
     create_diffusion,
     discretized_gaussian_log_likelihood,
     masked_global_mse,
     normal_kl,
 )
-from fit_tpu.diffusion.samplers import cfg_model_fn, ddim_sample_loop, p_sample_loop
+from fit_tpu.diffusion.samplers import (
+    cfg_model_fn,
+    ddim_reverse_loop,
+    ddim_sample_loop,
+    p_sample_loop,
+)
 from fit_tpu.diffusion.timestep_samplers import (
     LossSecondMomentResampler,
     UniformSampler,
@@ -31,7 +37,9 @@ __all__ = [
     "masked_global_mse",
     "normal_kl",
     "cfg_model_fn",
+    "ddim_reverse_loop",
     "ddim_sample_loop",
+    "continuous_gaussian_log_likelihood",
     "p_sample_loop",
     "LossSecondMomentResampler",
     "UniformSampler",

@@ -90,6 +90,15 @@ def approx_standard_normal_cdf(x):
     return 0.5 * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
 
 
+def continuous_gaussian_log_likelihood(x, *, means, log_scales):
+    """Continuous Gaussian log-likelihood in nats
+    (reference ``diffusion_utils.py:47-59``)."""
+    centered = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    normalized = centered * inv_stdv
+    return -0.5 * (normalized**2 + np.log(2 * np.pi))
+
+
 def discretized_gaussian_log_likelihood(x, *, means, log_scales):
     """Log-likelihood of a Gaussian discretized to uint8 bins rescaled to
     [-1, 1] (reference ``diffusion_utils.py:62-88``)."""

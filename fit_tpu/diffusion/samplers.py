@@ -107,6 +107,31 @@ def ddim_sample_loop(
     return traj if return_trajectory else final
 
 
+def ddim_reverse_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: Callable,
+    x_0: Array,
+    *,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+) -> Array:
+    """DDIM reverse ODE (encoding): deterministic x_0 -> x_T, the inverse of
+    ``ddim_sample_loop`` at eta=0 (iterates ``ddim_reverse_sample``,
+    reference ``gaussian_diffusion.py:574-610``, over ascending t)."""
+    wrapped = diffusion.wrap_model(model_fn)
+    num = diffusion.num_timesteps
+
+    def body(x, i):
+        t = jnp.full((x.shape[0],), i)
+        out = diffusion.ddim_reverse_sample(
+            wrapped, x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn
+        )
+        return out["sample"], None
+
+    final, _ = jax.lax.scan(body, x_0, jnp.arange(num))
+    return final
+
+
 def cfg_model_fn(apply_fn: Callable, cfg_scale, in_channels: int = 4) -> Callable:
     """Wrap a plain conditional ``apply_fn(x, t) -> out`` into the GLIDE-style
     CFG duplicated-batch protocol used by ``FiT.forward_with_cfg``: callers
