@@ -89,18 +89,25 @@ class PreprocessConfig:
 
 
 def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
-    """Expose every field as ``--field-name`` (and ``--field_name``)."""
+    """Expose every field as ``--field-name``.
+
+    Argparse defaults are ``None`` so :func:`from_args` can tell user-passed
+    flags apart from untouched ones — JSON-config values are only overridden
+    by flags the user actually typed; the dataclass's own defaults fill the
+    rest.
+    """
     for f in dataclasses.fields(cls):
         name = f.name.replace("_", "-")
         default = f.default
         if f.type in ("bool", bool) or isinstance(default, bool):
-            parser.add_argument(f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"),
-                                default=default)
+            parser.add_argument(
+                f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=None
+            )
         elif isinstance(default, tuple):
-            parser.add_argument(f"--{name}", type=int, nargs="*", default=list(default))
+            parser.add_argument(f"--{name}", type=int, nargs="*", default=None)
         else:
             typ = type(default) if default is not None else str
-            parser.add_argument(f"--{name}", type=typ, default=default)
+            parser.add_argument(f"--{name}", type=typ, default=None)
 
 
 def from_args(cls, args: argparse.Namespace, json_path: Optional[str] = None):
