@@ -68,8 +68,50 @@ def measure(model, params, batch, steps, seed=0):
     return batch / dt, dt / steps
 
 
+def measure_train(model_name, batch, grad_accum=2, iters=10):
+    """Training-step throughput (images/sec/chip) on synthetic latents —
+    the reference's training configuration is FiT-B/2, global batch 128,
+    bf16, grad-accum 2 (FiT/launch.sbatch:13, train.py:287-288)."""
+    import numpy as np
+
+    from fit_tpu.diffusion import create_diffusion
+    from fit_tpu.train import create_train_state, make_optimizer, make_train_step
+    from fit_tpu.train.step import split_for_accumulation
+
+    model = build(model_name, jnp.bfloat16, "auto")
+    head_dim = model.hidden_size // model.num_heads
+    params = init_params(model, head_dim)
+    tx = make_optimizer()
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(
+        model.apply, create_diffusion(None), tx, grad_accum=grad_accum, donate=False
+    )
+    t_len = 256
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(128, t_len + 1, size=batch)
+    batch_d = {
+        "tokens": jnp.asarray(rng.normal(size=(batch, t_len, 16)).astype(np.float32)),
+        "pos": jnp.asarray(rng.normal(size=(batch, t_len, head_dim)).astype(np.float32)),
+        "mask": jnp.asarray(np.arange(t_len)[None] < lengths[:, None]),
+        "label": jnp.asarray(rng.integers(0, 1000, size=batch).astype(np.int32)),
+    }
+    if grad_accum > 1:
+        batch_d = split_for_accumulation(batch_d, grad_accum)
+
+    key = jax.random.PRNGKey(0)
+    state, m = step_fn(state, batch_d, key)  # compile
+    jax.device_get(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step_fn(state, batch_d, jax.random.fold_in(key, i))
+    jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["sample", "train"], default="sample")
     ap.add_argument("--model", default="FiT-XL/2")
     # throughput peaks at small batch (bandwidth-bound regime; see sweep in
     # PROGRESS notes) — batch 8 is the measured optimum on v5e
@@ -82,6 +124,21 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:  # smoke mode
         args.model, args.batch, args.steps, args.baseline_steps = "FiT-S/2", 2, 4, 4
+
+    if args.mode == "train":
+        model_name = "FiT-B/2" if args.model == "FiT-XL/2" else args.model
+        batch = 128 if on_tpu else 4
+        imgs_per_sec, step_s = measure_train(model_name, batch)
+        print(json.dumps({
+            "metric": f"train images/sec/chip {model_name} 256tok bf16 accum2",
+            "value": round(imgs_per_sec, 2),
+            "unit": "img/s/chip",
+            "vs_baseline": 1.0,
+            "step_ms": round(step_s * 1e3, 2),
+            "batch": batch,
+            "backend": jax.default_backend(),
+        }))
+        return
 
     # our configuration: bf16 + the fused RoPE+attention kernel
     model = build(args.model, jnp.bfloat16, "auto")
