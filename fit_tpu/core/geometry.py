@@ -17,7 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -131,9 +131,18 @@ class Trainer:
         dev = {k: v for k, v in batch.items() if k in ("tokens", "pos", "mask", "label")}
         if cfg.grad_accum > 1:
             dev = split_for_accumulation(dev, cfg.grad_accum)
-        sharding = batch_sharding(self.mesh)
-        # leading accum axis is unsharded; batch axis shards over data
-        return jax.device_put(dev, sharding if cfg.grad_accum == 1 else None)
+        # shard the (micro)batch axis over data; replicate when it doesn't
+        # divide the mesh (tiny test batches)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.shape["data"]
+        batch_axis = 1 if cfg.grad_accum > 1 else 0
+        b = next(iter(dev.values())).shape[batch_axis]
+        if b % dp == 0:
+            spec = P(*([None] * batch_axis + ["data"]))
+        else:
+            spec = P()
+        return jax.device_put(dev, NamedSharding(self.mesh, spec))
 
     def fit(self, max_steps: Optional[int] = None):
         cfg = self.cfg

@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 __all__ = ["TrainConfig", "SampleConfig", "PreprocessConfig", "add_dataclass_args", "from_args"]
 

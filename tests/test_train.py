@@ -165,3 +165,39 @@ def test_trainer_end_to_end(tmp_path):
     state2 = trainer2._init_state()
     assert int(state2.step) == 3
     assert trainer2.start_epoch >= 0
+
+
+def test_trainer_bucket_packing(tmp_path):
+    """masked_FiT-style training: per-batch token buckets (each bucket is a
+    separate compiled shape; loss must run for multiple bucket sizes)."""
+    rng = np.random.default_rng(1)
+    root = tmp_path / "latents"
+    for cls in ["a", "b"]:
+        (root / cls).mkdir(parents=True)
+        for i in range(8):
+            h, w = [(16, 16), (8, 24), (16, 24)][i % 3]
+            np.save(root / cls / f"{i}.npy", rng.normal(size=(4, h, w)).astype(np.float16))
+
+    from fit_tpu.train import Trainer
+    from fit_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        feature_path=str(root),
+        feature_val_path="",
+        results_dir=str(tmp_path / "results"),
+        model="FiT-S/2",
+        image_size=64,  # budget 16 tokens
+        num_classes=2,
+        epochs=2,
+        global_batch_size=4,
+        grad_accum=1,
+        log_every=1,
+        compute_dtype="float32",
+        attn_backend="xla",
+        packing="bucket",
+        token_buckets=(8, 16),
+        scan_blocks=False,
+    )
+    trainer = Trainer(cfg)
+    state = trainer.fit(max_steps=4)
+    assert int(state.step) == 4
