@@ -91,6 +91,9 @@ class FiTSampler:
     max_size: int = 32  # canvas side in latent px (256px / vae_scale)
     max_length: int = 256
     num_classes: int = 1000
+    # optional jax.sharding.Mesh: batches shard over its 'data' axis (DP
+    # sampling for large FID jobs); params replicate.
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         self.diffusion: GaussianDiffusion = create_diffusion(str(self.num_sampling_steps))
@@ -173,4 +176,14 @@ class FiTSampler:
         mask_np = create_mask(valid_t, self.max_length, 2 * n)
         pos = jnp.asarray(np.broadcast_to(pos_np, (2 * n, seq, pos_np.shape[-1])).copy())
         mask = jnp.asarray(mask_np)
-        return self._jitted(self._cast_params(params), z, h, w, labels, pos, mask, rng_loop)
+        params = self._cast_params(params)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batched = NamedSharding(self.mesh, P("data"))
+            z = jax.device_put(z, batched)
+            labels = jax.device_put(labels, batched)
+            pos = jax.device_put(pos, batched)
+            mask = jax.device_put(mask, batched)
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        return self._jitted(params, z, h, w, labels, pos, mask, rng_loop)

@@ -106,3 +106,17 @@ def test_cfg_scale_changes_output(model_and_params):
     a = s1.sample(params, [1, 2], jax.random.PRNGKey(3), 128, 128, z=z)
     b = s2.sample(params, [1, 2], jax.random.PRNGKey(3), 128, 128, z=z)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def test_sample_multi_device_dp(model_and_params):
+    """DP sampling over the 8-device CPU mesh matches single-device output."""
+    from fit_tpu.parallel import make_mesh
+
+    model, params = model_and_params
+    kwargs = dict(num_sampling_steps=3, max_size=16, max_length=64, num_classes=10)
+    labels = list(range(8))
+    single = FiTSampler(model, **kwargs)
+    a = single.sample(params, labels, jax.random.PRNGKey(3), 128, 128)
+    sharded = FiTSampler(model, mesh=make_mesh(tp=1), **kwargs)
+    b = sharded.sample(params, labels, jax.random.PRNGKey(3), 128, 128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
