@@ -1,0 +1,89 @@
+"""Golden-value regression tests: frozen params + inputs + expected outputs
+(committed in tests/golden/golden_v1.npz, generated on the CPU backend with
+highest matmul precision). Any numerical change to the model forward or the
+samplers shows up here — the continuous-build guard against silent drift.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden_v1.npz")
+
+
+@pytest.fixture(scope="module")
+def data():
+    return np.load(GOLDEN)
+
+
+def rebuild_params(data):
+    tree = {}
+    for key in data.files:
+        if not key.startswith("param::"):
+            continue
+        path = key[len("param::"):].split("/")
+        node = tree
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = jnp.asarray(data[key])
+    return tree
+
+
+def test_forward_golden(data):
+    from fit_tpu.models import FiT
+
+    model = FiT(
+        patch_size=2, in_channels=4, hidden_size=96, depth=2, num_heads=6,
+        num_classes=10, class_dropout_prob=0.0, attn_backend="xla",
+    )
+    params = rebuild_params(data)
+    out = model.apply(
+        params,
+        jnp.asarray(data["tokens"]), jnp.asarray(data["t"]), jnp.asarray(data["y"]),
+        jnp.asarray(data["pos"]), jnp.asarray(data["mask"]), train=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), data["fwd"], atol=1e-6)
+
+
+def test_forward_golden_fused_backend(data):
+    """The fused kernel must reproduce the golden outputs on valid tokens."""
+    from fit_tpu.models import FiT
+
+    model = FiT(
+        patch_size=2, in_channels=4, hidden_size=96, depth=2, num_heads=6,
+        num_classes=10, class_dropout_prob=0.0, attn_backend="fused",
+    )
+    params = rebuild_params(data)
+    out = model.apply(
+        params,
+        jnp.asarray(data["tokens"]), jnp.asarray(data["t"]), jnp.asarray(data["y"]),
+        jnp.asarray(data["pos"]), jnp.asarray(data["mask"]), train=True,
+    )
+    valid = np.asarray(data["mask"][0]).sum()
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :valid], data["fwd"][:, :valid], atol=2e-5
+    )
+
+
+def test_ddim_golden(data):
+    from fit_tpu.diffusion import create_diffusion, ddim_sample_loop
+
+    diff = create_diffusion("10")
+    out = ddim_sample_loop(
+        diff, lambda x, t: 0.1 * x, jnp.asarray(data["x_T"]), clip_denoised=False
+    )
+    np.testing.assert_allclose(np.asarray(out), data["ddim"], rtol=1e-6, atol=1e-5)
+
+
+def test_ddpm_golden(data):
+    from fit_tpu.diffusion import create_diffusion, p_sample_loop
+
+    diff = create_diffusion("10")
+    out = p_sample_loop(
+        diff, lambda x, t: 0.1 * x, jnp.asarray(data["x_T"]),
+        step_noise=jnp.asarray(data["step_noise"]), clip_denoised=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), data["ddpm"], rtol=1e-6, atol=1e-6)
