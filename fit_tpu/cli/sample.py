@@ -27,7 +27,20 @@ def main():
                         help="torch sd-vae checkpoint to convert for decoding")
     add_dataclass_args(parser, SampleConfig)
     args = parser.parse_args()
-    cfg = from_args(SampleConfig, args, args.config)
+
+    # hyperparameter restore (reference load_from_checkpoint semantics): the
+    # Trainer writes results_dir/config.json next to checkpoints/ — reuse its
+    # model/arch fields unless explicitly overridden
+    config_path = args.config
+    if config_path is None and args.checkpoint_path:
+        for cand in (
+            os.path.join(os.path.dirname(args.checkpoint_path.rstrip("/")), "config.json"),
+            os.path.join(args.checkpoint_path, "config.json"),
+        ):
+            if os.path.exists(cand):
+                config_path = cand
+                break
+    cfg = from_args(SampleConfig, args, config_path)
 
     import jax
     import jax.numpy as jnp

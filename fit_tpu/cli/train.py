@@ -17,8 +17,12 @@ def main():
     args = parser.parse_args()
     cfg = from_args(TrainConfig, args, args.config)
 
+    from fit_tpu.parallel.distributed import maybe_initialize
     from fit_tpu.train import Trainer
 
+    n_hosts = maybe_initialize()
+    if n_hosts > 1:
+        print(f"[fit_tpu] multi-host: {n_hosts} processes")
     trainer = Trainer(cfg)
     trainer.fit()
 

@@ -64,8 +64,9 @@ def create_pos_embed(
 
 
 def create_mask(valid_t: int, max_length: int, n: int) -> np.ndarray:
-    """(n, T) prefix validity mask (parity: reference ``train.py:158-166``)."""
-    length = max(valid_t, max_length) if valid_t > max_length else max_length
+    """(n, T) prefix validity mask; T grows past the budget on the
+    extrapolation path (parity: reference ``train.py:158-166``)."""
+    length = max(valid_t, max_length)
     mask = np.zeros((length,), bool)
     mask[:valid_t] = True
     return np.broadcast_to(mask, (n, length)).copy()

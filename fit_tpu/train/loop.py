@@ -20,7 +20,7 @@ import numpy as np
 from fit_tpu.data import LatentFolderDataset, LatentLoader
 from fit_tpu.diffusion import create_diffusion
 from fit_tpu.models import create_fit
-from fit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from fit_tpu.parallel.mesh import make_mesh, shard_params
 from fit_tpu.train.state import create_train_state, make_optimizer
 from fit_tpu.train.step import make_eval_step, make_train_step, split_for_accumulation
 from fit_tpu.utils.checkpoint import CheckpointManager
@@ -91,6 +91,16 @@ class Trainer:
         )
         self.eval_step = make_eval_step(self.model.apply, self.diffusion)
         self.ckpt = CheckpointManager(os.path.join(cfg.results_dir, "checkpoints"))
+        # persist the full config alongside checkpoints (the reference's
+        # Lightning save_hyperparameters equivalent, train.py:40): sampling
+        # can rebuild the exact model without re-specifying flags
+        if self.host_id == 0:
+            os.makedirs(cfg.results_dir, exist_ok=True)
+            with open(os.path.join(cfg.results_dir, "config.json"), "w") as f:
+                import dataclasses as _dc
+                import json as _json
+
+                _json.dump(_dc.asdict(cfg), f, indent=2)
         self.logger = MetricLogger(
             cfg.results_dir, run_name=cfg.model.replace("/", "-"),
             use_wandb=cfg.use_wandb, wandb_run_id=cfg.wandb_run_id,
