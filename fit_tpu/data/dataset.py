@@ -270,22 +270,8 @@ class LatentLoader:
 
     def epoch_batches(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
         epoch = self.epoch if epoch is None else epoch
-        rng = np.random.default_rng((self.seed, epoch))
-        order = (
-            rng.permutation(len(self.ds)) if self.shuffle else np.arange(len(self.ds))
-        )
-        shard = order[self.shard_id :: self.num_shards]
-        limit = (len(shard) // self.batch_size) * self.batch_size if self.drop_last else len(shard)
-        for start in range(0, limit, self.batch_size):
-            idxs = shard[start : start + self.batch_size]
-            if self._native:
-                yield self._pad_batch_native(idxs, rng)
-            else:
-                items = [self.ds.__getitem__(int(i), rng=rng) for i in idxs]
-                if self.mode == "pad":
-                    yield pad_batch(items, self.ds.max_length)
-                else:
-                    yield bucket_batch(items, rng, self.buckets)
+        for idxs, seed in self._batch_plan(epoch):
+            yield self._build_batch(idxs, seed)
         self.epoch = epoch + 1
 
     def _pad_batch_native(self, idxs, rng: np.random.Generator) -> Dict[str, np.ndarray]:
@@ -325,27 +311,53 @@ class LatentLoader:
     def __iter__(self):
         return self.epoch_batches()
 
+    def _batch_plan(self, epoch: int):
+        """Deterministic per-epoch plan: list of (index_array, batch_seed)."""
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(len(self.ds)) if self.shuffle else np.arange(len(self.ds))
+        shard = order[self.shard_id :: self.num_shards]
+        limit = (len(shard) // self.batch_size) * self.batch_size if self.drop_last else len(shard)
+        plan = []
+        for bi, start in enumerate(range(0, limit, self.batch_size)):
+            plan.append((shard[start : start + self.batch_size], (self.seed, epoch, bi)))
+        return plan
+
+    def _build_batch(self, idxs, batch_seed) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(batch_seed)
+        if self._native:
+            return self._pad_batch_native(idxs, rng)
+        items = [self.ds.__getitem__(int(i), rng=rng) for i in idxs]
+        if self.mode == "pad":
+            return pad_batch(items, self.ds.max_length)
+        return bucket_batch(items, rng, self.buckets)
+
     def prefetched(self, epoch: Optional[int] = None, num_threads: int = 4, depth: int = 8):
-        """Iterate with background-thread prefetch (the host-side replacement
-        for torch DataLoader workers: IO + patchify overlap device steps)."""
-        import queue
-        import threading
+        """Iterate with a thread-pool prefetcher: batches are built by
+        ``num_threads`` workers ahead of consumption (IO + fp16 decode +
+        patchify overlap the device step — the host-side replacement for
+        torch DataLoader worker processes; the native packer additionally
+        releases the GIL entirely).
 
-        q: "queue.Queue" = queue.Queue(maxsize=depth)
-        stop = object()
+        Note: batch randomness is drawn from a per-batch seed, so prefetch
+        order never changes data (unlike the sequential ``epoch_batches``
+        whose single rng stream these per-batch streams replace — both are
+        deterministic, they differ in draw sequence).
+        """
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
 
-        def producer():
-            try:
-                for b in self.epoch_batches(epoch):
-                    q.put(b)
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        epoch = self.epoch if epoch is None else epoch
+        plan = self._batch_plan(epoch)
+        with ThreadPoolExecutor(max_workers=max(1, num_threads)) as pool:
+            pending = collections.deque()
+            it = iter(plan)
+            for _ in range(min(depth, len(plan))):
+                idxs, seed = next(it)
+                pending.append(pool.submit(self._build_batch, idxs, seed))
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._build_batch, *nxt))
+                yield batch
+        self.epoch = epoch + 1
