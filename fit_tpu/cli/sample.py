@@ -92,8 +92,7 @@ def main():
         labels = jax.random.randint(lkey, (n,), 0, cfg.num_classes)
         print(f"Starting sampling for batch {batch + 1}/{num_batches}")
         latents = sampler.sample(
-            state.ema_params if cfg.use_ema else state.params,
-            labels, skey, cfg.image_height, cfg.image_width,
+            params, labels, skey, cfg.image_height, cfg.image_width,
         )
         labels_np = np.asarray(labels)
         if vae_params is not None:
