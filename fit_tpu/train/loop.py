@@ -35,12 +35,13 @@ class Trainer:
         self.cfg = config
         cfg = config
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+        remat = cfg.remat if cfg.remat is not None else (cfg.packing == "pad")
         self.model = create_fit(
             cfg.model,
             num_classes=cfg.num_classes,
             attn_backend=cfg.attn_backend,
             dtype=dtype,
-            remat=cfg.remat,
+            remat=remat,
             scan_blocks=cfg.scan_blocks,
         )
         self.head_dim = self.model.hidden_size // self.model.num_heads

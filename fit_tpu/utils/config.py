@@ -52,7 +52,10 @@ class TrainConfig:
     tp: int = 1
     fsdp: bool = False
     attn_backend: str = "auto"
-    remat: bool = False
+    # rematerialize blocks: None = auto (on for pad-to-max packing where
+    # saving scan residuals is the bottleneck, off for token buckets where
+    # recompute costs more than the smaller residuals — both measured on v5e)
+    remat: Optional[bool] = None
     scan_blocks: bool = True  # scan-over-layers (stacked block params)
     profile_dir: str = ""  # capture a jax.profiler trace of steps 10-20
 
@@ -99,7 +102,7 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
     for f in dataclasses.fields(cls):
         name = f.name.replace("_", "-")
         default = f.default
-        if f.type in ("bool", bool) or isinstance(default, bool):
+        if "bool" in str(f.type) or isinstance(default, bool):
             parser.add_argument(
                 f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=None
             )
