@@ -115,27 +115,38 @@ def _kernel(
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
+def _head_chunk(h: int, t: int, d: int, itemsize: int, budget_bytes: int = 6 << 20) -> int:
+    """Largest divisor of ``h`` whose 3x(double-buffered) qkv block fits the
+    VMEM budget (all heads per program at T=256; chunks of 4 at T=1024)."""
+    per_head = t * d * itemsize * 3 * 2
+    hc = max(1, min(h, budget_bytes // max(per_head, 1)))
+    while h % hc:
+        hc -= 1
+    return hc
+
+
 def _forward(q, k, v, cos, sin, lengths, scale):
     """q, k, v: (B, H, T, d) here (kernel-internal layout)."""
     b, h, t, d = q.shape
-    kernel = functools.partial(_kernel, scale=scale, num_heads=h)
+    hc = _head_chunk(h, t, d, q.dtype.itemsize)
+    kernel = functools.partial(_kernel, scale=scale, num_heads=hc)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(b, h // hc),
             in_specs=[
-                pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
-                pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0)),
-                pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0)),
+                pl.BlockSpec((1, hc, t, d), lambda i, j, lens: (i, j, 0, 0)),
+                pl.BlockSpec((1, hc, t, d), lambda i, j, lens: (i, j, 0, 0)),
+                pl.BlockSpec((1, hc, t, d), lambda i, j, lens: (i, j, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0)),
+            out_specs=pl.BlockSpec((1, hc, t, d), lambda i, j, lens: (i, j, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, q, k, v, cos, sin)
@@ -212,21 +223,23 @@ def _bwd_kernel(
 def _backward(q, k, v, g, cos, sin, lengths, scale):
     """q, k, v, g: (B, H, T, d). Returns (dq, dk, dv) same shape."""
     b, h, t, d = q.shape
-    kernel = functools.partial(_bwd_kernel, scale=scale, num_heads=h)
-    spec4 = pl.BlockSpec((1, h, t, d), lambda i, lens: (i, 0, 0, 0))
-    spec3 = pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0))
+    # 7 head-blocks live (4 in + 3 out): scale the chunk budget accordingly
+    hc = _head_chunk(h, t, d, q.dtype.itemsize, budget_bytes=(6 << 20) * 3 // 7)
+    kernel = functools.partial(_bwd_kernel, scale=scale, num_heads=hc)
+    spec4 = pl.BlockSpec((1, hc, t, d), lambda i, j, lens: (i, j, 0, 0))
+    spec3 = pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0))
     out = jax.ShapeDtypeStruct(q.shape, q.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(b, h // hc),
             in_specs=[spec4, spec4, spec4, spec4, spec3, spec3],
             out_specs=(spec4, spec4, spec4),
         ),
         out_shape=(out, out, out),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, q, k, v, g, cos, sin)
