@@ -149,6 +149,57 @@ class FiTSampler:
         valid_t = token_count(h, w, self.model.patch_size)
         return unpad_latent(samples, valid_t, h, w, self.model.patch_size)
 
+    def sample_mixed(
+        self,
+        params,
+        labels,
+        sizes,
+        rng: jax.Array,
+    ) -> "list[Array]":
+        """Sample a PACKED batch of mixed resolutions in one denoising run
+        (BASELINE config 4): every sample gets its own RoPE table and
+        validity mask; attention masking keeps them independent. ``sizes`` is
+        a list of (image_height, image_width) per label. Returns a list of
+        (C, h_i, w_i) latents.
+
+        All sizes share the square canvas, so they must fit the token budget
+        (use :meth:`sample` per resolution for extrapolation).
+        """
+        labels = jnp.asarray(labels)
+        n = labels.shape[0]
+        assert len(sizes) == n
+        p = self.model.patch_size
+        head_dim = self._head_dim()
+
+        pos = np.zeros((n, self.max_length, head_dim), np.float32)
+        mask = np.zeros((n, self.max_length), bool)
+        valid = []
+        for i, (ih, iw) in enumerate(sizes):
+            h, w = ih // self.vae_scale, iw // self.vae_scale
+            assert token_count(h, w, p) <= self.max_length, (
+                f"size {ih}x{iw} exceeds the token budget; sample() it separately"
+            )
+            tab, valid_t = create_pos_embed(h, w, p, self.max_length, head_dim, "rotate")
+            pos[i] = tab[0]
+            mask[i, :valid_t] = True
+            valid.append((valid_t, h, w))
+
+        rng_z, rng_loop = jax.random.split(rng)
+        # noise straight on the canvas; padded tokens are masked out anyway
+        z = jax.random.normal(
+            rng_z, (n, self.model.in_channels, self.max_size, self.max_size), jnp.float32
+        )
+        pos2 = jnp.asarray(np.concatenate([pos, pos], axis=0))
+        mask2 = jnp.asarray(np.concatenate([mask, mask], axis=0))
+        canvas = self._jitted(
+            self._cast_params(params), z, self.max_size, self.max_size,
+            labels, pos2, mask2, rng_loop,
+        )
+        return [
+            unpad_latent(canvas[i : i + 1], vt, h, w, p)[0]
+            for i, (vt, h, w) in enumerate(valid)
+        ]
+
     def sample(
         self,
         params,

@@ -120,3 +120,17 @@ def test_sample_multi_device_dp(model_and_params):
     sharded = FiTSampler(model, mesh=make_mesh(tp=1), **kwargs)
     b = sharded.sample(params, labels, jax.random.PRNGKey(3), 128, 128)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sample_mixed_aspect_packed_batch(model_and_params):
+    """BASELINE config 4 proper: different resolutions in ONE packed batch,
+    per-sample pos tables and masks; each output matches the same seed's
+    behavior shape-wise and padded samples don't interfere."""
+    model, params = model_and_params
+    s = FiTSampler(model, num_sampling_steps=3, max_size=16, max_length=64, num_classes=10)
+    outs = s.sample_mixed(
+        params, [1, 2, 3], [(128, 64), (64, 128), (128, 128)], jax.random.PRNGKey(6)
+    )
+    assert [tuple(o.shape) for o in outs] == [(4, 16, 8), (4, 8, 16), (4, 16, 16)]
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
