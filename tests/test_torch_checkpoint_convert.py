@@ -1,0 +1,118 @@
+"""Torch FiT checkpoint conversion: reference-layout state dicts round-trip
+into flax params that reproduce the independent torch oracle's outputs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from fit_tpu.models import FiT
+from fit_tpu.models.convert import convert_torch_fit_state_dict
+
+B, T, P, C = 2, 32, 2, 4
+HID, HEADS, DEPTH = 48, 3, 2
+NUM_CLASSES = 5
+
+
+def fake_reference_state_dict(rng):
+    """Random weights in the reference's torch module layout."""
+    def lin(out_f, in_f):
+        return (
+            torch.tensor(rng.normal(size=(out_f, in_f)).astype(np.float32) * 0.05),
+            torch.tensor(rng.normal(size=(out_f,)).astype(np.float32) * 0.05),
+        )
+
+    sd = {}
+    def put(name, out_f, in_f):
+        w, b = lin(out_f, in_f)
+        sd[f"{name}.weight"] = w
+        sd[f"{name}.bias"] = b
+
+    hidden_ffn = int(HID * 4 * 2 / 3)
+    put("x_embedder", HID, P * P * C)
+    put("t_embedder.mlp.0", HID, 256)
+    put("t_embedder.mlp.2", HID, HID)
+    # note: the real reference table has num_classes+1 rows (CFG null class,
+    # dropout 0.1); this test model uses dropout 0 so the table matches its
+    # num_classes exactly — the converter copies whatever rows exist.
+    sd["y_embedder.embedding_table.weight"] = torch.tensor(
+        rng.normal(size=(NUM_CLASSES, HID)).astype(np.float32) * 0.05
+    )
+    for i in range(DEPTH):
+        put(f"blocks.{i}.attn.qkv", 3 * HID, HID)
+        put(f"blocks.{i}.attn.proj", HID, HID)
+        put(f"blocks.{i}.ffn.fc1_g", hidden_ffn, HID)
+        put(f"blocks.{i}.ffn.fc1_x", hidden_ffn, HID)
+        put(f"blocks.{i}.ffn.fc2", HID, hidden_ffn)
+        put(f"blocks.{i}.adaLN_modulation.1", 6 * HID, HID)
+    put("final_layer.adaLN_modulation.1", 2 * HID, HID)
+    put("final_layer.linear", P * P * C, HID)
+    # Lightning-style prefixes must be stripped
+    return {f"model._orig_mod.{k}": v for k, v in sd.items()}
+
+
+def make_inputs(seed=0):
+    from fit_tpu.core.pos_embed import rope_freqs_2d
+
+    rng = np.random.default_rng(seed)
+    tokens = rng.normal(size=(B, T, P * P * C)).astype(np.float32)
+    head_dim = HID // HEADS
+    pos = np.broadcast_to(rope_freqs_2d(head_dim, 4, 8), (B, T, head_dim)).copy()
+    mask = np.ones((B, T), bool)
+    t = rng.integers(0, 1000, size=(B,)).astype(np.int32)
+    y = rng.integers(0, NUM_CLASSES, size=(B,)).astype(np.int32)
+    return tokens, t, y, pos, mask
+
+
+def test_converted_checkpoint_matches_torch_oracle():
+    rng = np.random.default_rng(3)
+    sd = fake_reference_state_dict(rng)
+    params = convert_torch_fit_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, depth=DEPTH
+    )
+    model = FiT(
+        patch_size=P, in_channels=C, hidden_size=HID, depth=DEPTH, num_heads=HEADS,
+        num_classes=NUM_CLASSES, class_dropout_prob=0.0, attn_backend="xla",
+    )
+    tokens, t, y, pos, mask = make_inputs()
+    # param tree structurally identical to a fresh init
+    init = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(tokens), jnp.asarray(t), jnp.asarray(y),
+        jnp.asarray(pos), jnp.asarray(mask), train=True,
+    )
+    import jax.tree_util as jtu
+
+    s1 = {jtu.keystr(k): v.shape for k, v in jtu.tree_flatten_with_path(init)[0]}
+    s2 = {
+        jtu.keystr(k): np.asarray(v).shape
+        for k, v in jtu.tree_flatten_with_path(jax.tree.map(jnp.asarray, params))[0]
+    }
+    assert s1 == s2
+
+    got = np.asarray(model.apply(
+        params, jnp.asarray(tokens), jnp.asarray(t), jnp.asarray(y),
+        jnp.asarray(pos), jnp.asarray(mask), train=True,
+    ))
+
+    # independent torch oracle consuming the converted (flax-layout) weights
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_torch_parity import torch_oracle_forward
+
+    want = torch_oracle_forward(
+        jax.tree.map(np.asarray, params)["params"], tokens, t, y, pos, mask,
+        dims=(B, T, HID, HEADS, DEPTH),
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_scan_blocks_layout_conversion():
+    rng = np.random.default_rng(4)
+    sd = {k: v.numpy() for k, v in fake_reference_state_dict(rng).items()}
+    flat = convert_torch_fit_state_dict(sd, depth=DEPTH, scan_blocks=True)
+    stacked = flat["params"]["blocks"]["block"]
+    assert stacked["attn"]["qkv"]["kernel"].shape == (DEPTH, HID, 3 * HID)

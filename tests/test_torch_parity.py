@@ -33,13 +33,19 @@ def flax_model():
     )
 
 
-def torch_oracle_forward(p, x, t, y, pos, mask):
+def torch_oracle_forward(p, x, t, y, pos, mask, dims=None):
     """Torch implementation of the FiT forward on packed tokens.
 
     ``p``: flax params pytree as numpy (Dense kernels are (in, out)).
     All math fp32; LayerNorm affine-free eps 1e-6; RoPE in fp32 complex
-    pairs; attention with key-only masking.
+    pairs; attention with key-only masking. ``dims``: optional
+    (B, T, HID, HEADS, DEPTH) override for reuse with other model sizes.
     """
+    B, T, HID, HEADS, DEPTH = dims if dims is not None else (
+        globals()["B"], globals()["T"], globals()["HID"],
+        globals()["HEADS"], globals()["DEPTH"],
+    )
+    HEAD_DIM = HID // HEADS
     tt = lambda a: torch.tensor(np.asarray(a), dtype=torch.float32)
 
     def dense(name_tree, v):
