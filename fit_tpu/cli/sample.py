@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--vae-checkpoint", type=str, default=None,
                         help="torch sd-vae checkpoint to convert for decoding")
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="sample directly from a reference (torch) FiT "
+                             "checkpoint instead of an Orbax directory")
     add_dataclass_args(parser, SampleConfig)
     args = parser.parse_args()
 
@@ -55,20 +58,30 @@ def main():
         dtype=jnp.bfloat16, scan_blocks=cfg.scan_blocks,
     )
 
-    # restore params (EMA by default, like the reference's EMA-swapped eval)
-    head_dim = model.hidden_size // model.num_heads
-    dummy_tokens = jnp.zeros((1, 8, model.patch_size**2 * model.in_channels))
-    init_params = model.init(
-        {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
-        dummy_tokens, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 8, head_dim)), jnp.ones((1, 8), bool), train=True,
-    )
-    mgr = CheckpointManager(cfg.checkpoint_path)
-    state, _ = mgr.restore(template=create_train_state(init_params, make_optimizer()))
-    if state is None:
-        raise FileNotFoundError(f"no checkpoint under {cfg.checkpoint_path}")
-    params = state.ema_params if cfg.use_ema else state.params
-    print(f"Model loaded successfully (step {int(state.step)}, ema={cfg.use_ema})")
+    if args.torch_checkpoint:
+        # migrate a reference (torch/Lightning) checkpoint on the fly
+        from fit_tpu.models.convert import load_torch_fit_checkpoint
+
+        params = load_torch_fit_checkpoint(
+            args.torch_checkpoint, depth=model.depth, scan_blocks=cfg.scan_blocks
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        print(f"Converted torch checkpoint {args.torch_checkpoint}")
+    else:
+        # restore params (EMA by default, like the reference's EMA-swapped eval)
+        head_dim = model.hidden_size // model.num_heads
+        dummy_tokens = jnp.zeros((1, 8, model.patch_size**2 * model.in_channels))
+        init_params = model.init(
+            {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
+            dummy_tokens, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 8, head_dim)), jnp.ones((1, 8), bool), train=True,
+        )
+        mgr = CheckpointManager(cfg.checkpoint_path)
+        state, _ = mgr.restore(template=create_train_state(init_params, make_optimizer()))
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {cfg.checkpoint_path}")
+        params = state.ema_params if cfg.use_ema else state.params
+        print(f"Model loaded successfully (step {int(state.step)}, ema={cfg.use_ema})")
 
     vae = vae_params = None
     if args.vae_checkpoint:

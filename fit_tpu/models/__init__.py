@@ -1,5 +1,9 @@
 """Model families: FiT (variable-length packed tokens) and DiT (square)."""
 
+from fit_tpu.models.convert import (
+    convert_torch_fit_state_dict,
+    load_torch_fit_checkpoint,
+)
 from fit_tpu.models.dit import DiT, DiT_models, create_dit
 from fit_tpu.models.fit import FiT, FiT_models, create_fit
 from fit_tpu.models.layers import (
@@ -16,6 +20,8 @@ from fit_tpu.models.layers import (
 )
 
 __all__ = [
+    "convert_torch_fit_state_dict",
+    "load_torch_fit_checkpoint",
     "DiT",
     "DiT_models",
     "create_dit",
