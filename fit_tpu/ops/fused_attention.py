@@ -146,7 +146,9 @@ def _forward(q, k, v, cos, sin, lengths, scale):
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            # batch dim "parallel": v5e has 2 megacores; this distributes
+            # grid rows across them (guide: megacore parallelism)
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, q, k, v, cos, sin)
@@ -239,7 +241,9 @@ def _backward(q, k, v, g, cos, sin, lengths, scale):
         ),
         out_shape=(out, out, out),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            # batch dim "parallel": v5e has 2 megacores; this distributes
+            # grid rows across them (guide: megacore parallelism)
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, q, k, v, g, cos, sin)
