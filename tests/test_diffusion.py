@@ -305,3 +305,58 @@ def test_create_diffusion_variants():
     d = create_diffusion("ddim50", sigma_small=True)
     assert d.num_timesteps == 50
     assert d.model_var_type == ModelVarType.FIXED_SMALL
+
+
+def test_ddim_eta_stochastic():
+    """eta > 0 DDIM: deterministic given injected noise; noise-free at t=0;
+    matches the closed-form sigma blend against the oracle step."""
+    pytest.importorskip("torch")
+    import torch
+
+    diff = create_diffusion("10")
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=SHAPE).astype(np.float32)
+    noise = rng.normal(size=SHAPE).astype(np.float32)
+    t = np.array([5, 0])
+    model = fake_eps_model()
+    eps = np.asarray(model(jnp.asarray(x), jnp.asarray(t)))
+    eta = 0.7
+    out = diff.ddim_sample(
+        model, jnp.asarray(x), jnp.asarray(t), jnp.asarray(noise),
+        clip_denoised=False, eta=eta,
+    )["sample"]
+
+    c = diff.c
+
+    def at(table):
+        return torch.tensor(table[t], dtype=torch.float32).view(-1, 1, 1, 1)
+
+    xt = torch.tensor(x)
+    ep = torch.tensor(eps)
+    x0 = at(c.sqrt_recip_alphas_cumprod) * xt - at(c.sqrt_recipm1_alphas_cumprod) * ep
+    eps_re = (at(c.sqrt_recip_alphas_cumprod) * xt - x0) / at(c.sqrt_recipm1_alphas_cumprod)
+    ab, abp = at(c.alphas_cumprod), at(c.alphas_cumprod_prev)
+    sigma = eta * torch.sqrt((1 - abp) / (1 - ab)) * torch.sqrt(1 - ab / abp)
+    mean = x0 * torch.sqrt(abp) + torch.sqrt(1 - abp - sigma**2) * eps_re
+    nonzero = torch.tensor((t != 0).astype(np.float32)).view(-1, 1, 1, 1)
+    want = (mean + nonzero * sigma * torch.tensor(noise)).numpy()
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+    # t=0 row got no noise
+    assert np.array_equal(np.asarray(out)[1], want[1])
+
+
+def test_cfg_model_fn_wrapper():
+    from fit_tpu.diffusion import cfg_model_fn
+
+    def apply_fn(x, t):
+        # cond half sees its own values; output = x * 2
+        return x * 2.0
+
+    wrapped = cfg_model_fn(apply_fn, cfg_scale=3.0, in_channels=4)
+    rng = np.random.default_rng(13)
+    half = rng.normal(size=(2, 4, 4, 4)).astype(np.float32)
+    x = jnp.asarray(np.concatenate([half, half]))
+    out = np.asarray(wrapped(x, jnp.zeros((4,))))
+    # cond == uncond here, so guidance collapses to the plain output
+    np.testing.assert_allclose(out, np.asarray(x) * 2.0, atol=1e-6)
+    assert out.shape == (4, 4, 4, 4)

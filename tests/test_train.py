@@ -167,6 +167,41 @@ def test_trainer_end_to_end(tmp_path):
     assert trainer2.start_epoch >= 0
 
 
+def test_trainer_validation_path(tmp_path):
+    """Epoch-end validation: EMA params evaluated on the val loader, val_loss
+    logged (reference train.py:71-95 semantics)."""
+    import json
+
+    rng = np.random.default_rng(2)
+    for sub in ["train", "val"]:
+        for cls in ["a", "b"]:
+            d = tmp_path / sub / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                np.save(d / f"{i}.npy", rng.normal(size=(4, 16, 16)).astype(np.float16))
+
+    from fit_tpu.train import Trainer
+    from fit_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        feature_path=str(tmp_path / "train"),
+        feature_val_path=str(tmp_path / "val"),
+        results_dir=str(tmp_path / "results"),
+        model="FiT-S/2", image_size=64, num_classes=2, epochs=1,
+        global_batch_size=4, grad_accum=1, log_every=1,
+        compute_dtype="float32", attn_backend="xla", scan_blocks=False,
+    )
+    trainer = Trainer(cfg)
+    assert trainer.val_loader is not None
+    trainer.fit()
+    metrics = [
+        json.loads(l)
+        for l in open(tmp_path / "results" / "FiT-S-2_metrics.jsonl")
+    ]
+    val = [m for m in metrics if "val_loss" in m]
+    assert val and np.isfinite(val[-1]["val_loss"])
+
+
 def test_trainer_bucket_packing(tmp_path):
     """masked_FiT-style training: per-batch token buckets (each bucket is a
     separate compiled shape; loss must run for multiple bucket sizes)."""
