@@ -90,18 +90,26 @@ def _kernel(
     key_col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
     neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (T, T)
 
-    def rope(x):
+    # RoPE for ALL heads in two big dots (M = H*T fills the MXU; 2 dots
+    # instead of 2*H tiny (T,d)@(d,d) ones)
+    hc = num_heads
+    cos_all = jnp.broadcast_to(cos[None], (hc, t, d)).reshape(hc * t, d)
+    sin_all = jnp.broadcast_to(sin[None], (hc, t, d)).reshape(hc * t, d)
+
+    def rope_all(x_ref):
+        x = x_ref[0].astype(jnp.float32).reshape(hc * t, d)
         xr = jax.lax.dot_general(
             x, s_rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return x * cos + xr * sin
+        return x * cos_all + xr * sin_all
 
-    for h in range(num_heads):  # static unroll; leading-index head slices
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
+    qr_all = rope_all(q_ref) * scale  # (H*T, d)
+    kr_all = rope_all(k_ref)
+
+    for h in range(num_heads):  # static unroll; leading-dim slices are free
+        qr = qr_all[h * t : (h + 1) * t]
+        kr = kr_all[h * t : (h + 1) * t]
         v = v_ref[0, h].astype(jnp.float32)
-        qr = rope(q) * scale
-        kr = rope(k)
         s = jax.lax.dot_general(
             qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -190,21 +198,29 @@ def _bwd_kernel(
     def dot(a, bb, dims):
         return jax.lax.dot_general(a, bb, (dims, ((), ())), preferred_element_type=jnp.float32)
 
-    def rope(x):
-        return x * cos + dot(x, s_rot, ((1,), (0,))) * sin
+    # batched-across-heads RoPE (see forward kernel): 2 big dots, not 2*H tiny
+    hc = num_heads
+    cos_all = jnp.broadcast_to(cos[None], (hc, t, d)).reshape(hc * t, d)
+    sin_all = jnp.broadcast_to(sin[None], (hc, t, d)).reshape(hc * t, d)
+
+    def rope_all(x_ref):
+        x = x_ref[0].astype(jnp.float32).reshape(hc * t, d)
+        xr = dot(x, s_rot, ((1,), (0,)))
+        return x * cos_all + xr * sin_all
 
     def rope_vjp(gx):
         # S is antisymmetric: gx*sin @ S^T == -(gx*sin @ S)
         return gx * cos - dot(gx * sin, s_rot, ((1,), (0,)))
 
+    qr_all = rope_all(q_ref) * scale
+    kr_all = rope_all(k_ref)
+
     for h in range(num_heads):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
+        qr = qr_all[h * t : (h + 1) * t]
+        kr = kr_all[h * t : (h + 1) * t]
         v = v_ref[0, h].astype(jnp.float32)
         g = g_ref[0, h].astype(jnp.float32)
 
-        qr = rope(q) * scale
-        kr = rope(k)
         s = dot(qr, kr, ((1,), (1,))) + neg_mask
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
