@@ -63,7 +63,8 @@ def main():
         from fit_tpu.models.convert import load_torch_fit_checkpoint
 
         params = load_torch_fit_checkpoint(
-            args.torch_checkpoint, depth=model.depth, scan_blocks=cfg.scan_blocks
+            args.torch_checkpoint, depth=model.depth, scan_blocks=cfg.scan_blocks,
+            prefer_ema=cfg.use_ema,
         )
         params = jax.tree.map(jnp.asarray, params)
         print(f"Converted torch checkpoint {args.torch_checkpoint}")
