@@ -268,11 +268,21 @@ class LatentLoader:
             return per_shard // self.batch_size
         return -(-per_shard // self.batch_size)
 
-    def epoch_batches(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch_batches(
+        self, epoch: Optional[int] = None, start_batch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate one epoch's batches. ``start_batch`` resumes mid-epoch:
+        the plan is deterministic per (seed, epoch, batch index), so skipping
+        the first N entries reproduces exactly the data a crashed run would
+        have seen next. Passing an explicit ``epoch`` leaves the internal
+        epoch counter untouched (so e.g. a validation loader can be re-run
+        per training epoch without side effects)."""
+        advance = epoch is None
         epoch = self.epoch if epoch is None else epoch
-        for idxs, seed in self._batch_plan(epoch):
+        for idxs, seed in self._batch_plan(epoch)[start_batch:]:
             yield self._build_batch(idxs, seed)
-        self.epoch = epoch + 1
+        if advance:
+            self.epoch = epoch + 1
 
     def _pad_batch_native(self, idxs, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         """Pad-mode batch via the C++ packer (load/convert/flip/patchify/pad
@@ -331,7 +341,13 @@ class LatentLoader:
             return pad_batch(items, self.ds.max_length)
         return bucket_batch(items, rng, self.buckets)
 
-    def prefetched(self, epoch: Optional[int] = None, num_threads: int = 4, depth: int = 8):
+    def prefetched(
+        self,
+        epoch: Optional[int] = None,
+        num_threads: int = 4,
+        depth: int = 8,
+        start_batch: int = 0,
+    ):
         """Iterate with a thread-pool prefetcher: batches are built by
         ``num_threads`` workers ahead of consumption (IO + fp16 decode +
         patchify overlap the device step — the host-side replacement for
@@ -346,8 +362,9 @@ class LatentLoader:
         import collections
         from concurrent.futures import ThreadPoolExecutor
 
+        advance = epoch is None
         epoch = self.epoch if epoch is None else epoch
-        plan = self._batch_plan(epoch)
+        plan = self._batch_plan(epoch)[start_batch:]
         with ThreadPoolExecutor(max_workers=max(1, num_threads)) as pool:
             pending = collections.deque()
             it = iter(plan)
@@ -360,4 +377,5 @@ class LatentLoader:
                 if nxt is not None:
                     pending.append(pool.submit(self._build_batch, *nxt))
                 yield batch
-        self.epoch = epoch + 1
+        if advance:
+            self.epoch = epoch + 1

@@ -102,11 +102,17 @@ class Trainer:
                 import json as _json
 
                 _json.dump(_dc.asdict(cfg), f, indent=2)
+        run_name = cfg.model.replace("/", "-")
+        if n_hosts > 1:
+            run_name = f"{run_name}_p{self.host_id}"  # one JSONL per host
         self.logger = MetricLogger(
-            cfg.results_dir, run_name=cfg.model.replace("/", "-"),
-            use_wandb=cfg.use_wandb, wandb_run_id=cfg.wandb_run_id,
+            cfg.results_dir, run_name=run_name,
+            use_wandb=cfg.use_wandb and self.host_id == 0,
+            wandb_run_id=cfg.wandb_run_id,
         )
         self.start_epoch = 0
+        self.start_batch = 0  # mid-epoch resume position (loader batches consumed)
+        self._rng = None  # host PRNG state restored from a checkpoint
         self.state = None
 
     def _init_state(self):
@@ -128,27 +134,59 @@ class Trainer:
         )
         params, _specs = shard_params(params, self.mesh, tp=cfg.tp > 1, fsdp=cfg.fsdp)
         state = create_train_state(params, self.tx)
+        # every leaf must live on the mesh: scalar leaves (step, optimizer
+        # count) are otherwise single-device, and an Orbax restore then mixes
+        # device sets inside one jitted step ("incompatible devices")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self.mesh, P())
+        state = jax.tree.map(
+            lambda x: x
+            if isinstance(getattr(x, "sharding", None), NamedSharding)
+            else jax.device_put(x, replicated),
+            state,
+        )
 
         restored, host_state = self.ckpt.restore(template=state) if cfg.resume_from_checkpoint != "none" else (None, None)
         if restored is not None:
             state = restored
             if host_state:
                 self.start_epoch = int(host_state.get("epoch", 0))
-            print(f"[fit_tpu] resumed at step {int(state.step)}, epoch {self.start_epoch}")
+                self.start_batch = int(host_state.get("batch_index", 0))
+                if "rng" in host_state:
+                    self._rng = jnp.asarray(host_state["rng"], jnp.uint32)
+            print(
+                f"[fit_tpu] resumed at step {int(state.step)}, epoch "
+                f"{self.start_epoch}, batch {self.start_batch}"
+            )
         return state
 
-    def _device_batch(self, batch: dict) -> dict:
+    def _device_batch(self, batch: dict, grad_accum: Optional[int] = None) -> dict:
         cfg = self.cfg
+        accum = cfg.grad_accum if grad_accum is None else grad_accum
         dev = {k: v for k, v in batch.items() if k in ("tokens", "pos", "mask", "label")}
-        if cfg.grad_accum > 1:
-            dev = split_for_accumulation(dev, cfg.grad_accum)
-        # shard the (micro)batch axis over data; replicate when it doesn't
-        # divide the mesh (tiny test batches)
+        if accum > 1:
+            dev = split_for_accumulation(dev, accum)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         dp = self.mesh.shape["data"]
-        batch_axis = 1 if cfg.grad_accum > 1 else 0
+        batch_axis = 1 if accum > 1 else 0
         b = next(iter(dev.values())).shape[batch_axis]
+
+        if jax.process_count() > 1:
+            # multi-host: each process holds a DIFFERENT host-local shard of
+            # the global batch (the loader shards per host, see __init__), so
+            # assemble a global jax.Array from the per-process pieces —
+            # device_put would wrongly treat the local array as the global
+            # value (the Lightning-DDP capability, reference train.py:283)
+            spec = P(*([None] * batch_axis + ["data"]))
+            sharding = NamedSharding(self.mesh, spec)
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(sharding, x), dev
+            )
+
+        # single host: shard the (micro)batch axis over data; replicate when
+        # it doesn't divide the mesh (tiny test batches)
         if b % dp == 0:
             spec = P(*([None] * batch_axis + ["data"]))
         else:
@@ -159,7 +197,17 @@ class Trainer:
         cfg = self.cfg
         self.state = self._init_state() if self.state is None else self.state
         state = self.state
-        rng = jax.random.PRNGKey(cfg.global_seed + self.host_id)
+        # host PRNG: restored from the checkpoint on resume so the noise/t
+        # stream continues exactly where the crashed run left off. The key is
+        # deliberately identical on every host — the train step draws noise
+        # for the GLOBAL batch inside jit, so this replicated input must
+        # agree across processes (per-sample noise still differs because the
+        # draw covers the whole global batch shape).
+        rng = (
+            self._rng
+            if self._rng is not None
+            else jax.random.PRNGKey(cfg.global_seed)
+        )
         log_every = max(1, cfg.log_every)
         t_last = time.time()
         imgs_since = 0
@@ -167,12 +215,17 @@ class Trainer:
 
         host_step = int(state.step)
         for epoch in range(self.start_epoch, cfg.epochs):
-            for batch in self.loader.prefetched(epoch, num_threads=cfg.num_workers):
+            start_batch = self.start_batch if epoch == self.start_epoch else 0
+            batch_index = start_batch
+            for batch in self.loader.prefetched(
+                epoch, num_threads=cfg.num_workers, start_batch=start_batch
+            ):
                 rng, step_rng = jax.random.split(rng)
                 if cfg.profile_dir and host_step == 10:
                     jax.profiler.start_trace(cfg.profile_dir)
                 state, metrics = self.train_step(state, self._device_batch(batch), step_rng)
                 host_step += 1
+                batch_index += 1
                 if cfg.profile_dir and host_step == 20:
                     jax.profiler.stop_trace()
                 imgs_since += batch["tokens"].shape[0]
@@ -195,13 +248,25 @@ class Trainer:
                 val_losses = []
                 for vb in self.val_loader.epoch_batches(0):
                     rng, vrng = jax.random.split(rng)
-                    dev = {k: v for k, v in vb.items() if k in ("tokens", "pos", "mask", "label")}
+                    dev = self._device_batch(vb, grad_accum=1)
                     val_losses.append(float(self.eval_step(state.ema_params, dev, vrng)))
                 if val_losses:
                     self.logger.log(int(state.step), val_loss=float(np.mean(val_losses)), epoch=epoch)
 
             if (epoch + 1) % cfg.ckpt_every_epochs == 0 or done:
-                self.ckpt.save(int(state.step), state, host_state={"epoch": epoch + 1})
+                # loader position + host RNG ride along so resume replays
+                # neither data nor noise (reference Lightning resume
+                # semantics, FiT/train.py:293)
+                ended = not done or batch_index >= len(self.loader)
+                self.ckpt.save(
+                    int(state.step),
+                    state,
+                    host_state={
+                        "epoch": epoch + 1 if ended else epoch,
+                        "batch_index": 0 if ended else batch_index,
+                        "rng": np.asarray(rng, np.uint32).tolist(),
+                    },
+                )
             if done:
                 break
 

@@ -13,6 +13,7 @@ import json
 import os
 from typing import Any, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 __all__ = ["CheckpointManager"]
@@ -32,7 +33,7 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, host_state: Optional[dict] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        if host_state is not None:
+        if host_state is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, f"host_{step}.json"), "w") as f:
                 json.dump(host_state, f)
 

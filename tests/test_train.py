@@ -167,6 +167,85 @@ def test_trainer_end_to_end(tmp_path):
     assert trainer2.start_epoch >= 0
 
 
+def test_resume_fidelity_loss_and_data_stream(tmp_path):
+    """train(6) == train(3) -> save -> restore -> train(3): the loss stream,
+    data order, and host RNG stream all continue exactly (VERDICT round-1
+    item 7; reference Lightning resume semantics, FiT/train.py:293)."""
+    import json
+
+    rng = np.random.default_rng(5)
+    root = tmp_path / "latents"
+    for cls in ["a", "b"]:
+        (root / cls).mkdir(parents=True)
+        for i in range(8):
+            np.save(root / cls / f"{i}.npy", rng.normal(size=(4, 16, 16)).astype(np.float16))
+
+    from fit_tpu.train import Trainer
+    from fit_tpu.utils.config import TrainConfig
+
+    def cfg(results):
+        return TrainConfig(
+            feature_path=str(root), feature_val_path="",
+            results_dir=str(results), model="FiT-S/2", image_size=64,
+            num_classes=2, epochs=4, global_batch_size=4, grad_accum=1,
+            log_every=1, compute_dtype="float32", attn_backend="xla",
+            scan_blocks=False,
+        )
+
+    def losses(results):
+        out = {}
+        with open(results / "FiT-S-2_metrics.jsonl") as f:
+            for line in f:
+                m = json.loads(line)
+                if "train_loss" in m:
+                    out[m["step"]] = m["train_loss"]
+        return out
+
+    # one-shot run: 6 steps (epoch 0 = 4 batches, epoch 1 = first 2)
+    Trainer(cfg(tmp_path / "oneshot")).fit(max_steps=6)
+    want = losses(tmp_path / "oneshot")
+
+    # split run: 3 steps, crash mid-epoch, resume for 3 more
+    split_dir = tmp_path / "split"
+    Trainer(cfg(split_dir)).fit(max_steps=3)
+    t2 = Trainer(cfg(split_dir))
+    t2.fit(max_steps=6)
+    got = losses(split_dir)
+
+    assert set(want) == set(range(1, 7))
+    assert set(got) == set(want)
+    for step in want:
+        np.testing.assert_allclose(got[step], want[step], rtol=1e-5)
+
+
+def test_loader_start_batch_resume():
+    """epoch_batches(epoch, start_batch=k) reproduces the tail of the epoch
+    exactly, and an explicit epoch argument no longer mutates the loader."""
+    import tempfile, os
+    from fit_tpu.data import LatentFolderDataset, LatentLoader
+
+    rng = np.random.default_rng(6)
+    with tempfile.TemporaryDirectory() as root:
+        os.makedirs(os.path.join(root, "c"))
+        for i in range(12):
+            np.save(os.path.join(root, "c", f"{i}.npy"),
+                    rng.normal(size=(4, 16, 16)).astype(np.float16))
+        ds = LatentFolderDataset(root, sample_size=64)
+        loader = LatentLoader(ds, 4, seed=3, native=False)
+
+        full = list(loader.epoch_batches(1))
+        tail = list(loader.epoch_batches(1, start_batch=2))
+        assert len(tail) == len(full) - 2
+        for a, b in zip(full[2:], tail):
+            np.testing.assert_array_equal(a["tokens"], b["tokens"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+        assert loader.epoch == 0  # explicit epoch leaves the counter alone
+
+        pre = list(loader.prefetched(1, start_batch=2, num_threads=2))
+        for a, b in zip(tail, pre):
+            np.testing.assert_array_equal(a["tokens"], b["tokens"])
+
+
 def test_trainer_validation_path(tmp_path):
     """Epoch-end validation: EMA params evaluated on the val loader, val_loss
     logged (reference train.py:71-95 semantics)."""
