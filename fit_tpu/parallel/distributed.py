@@ -18,14 +18,29 @@ __all__ = ["maybe_initialize"]
 _initialized = False
 
 
-def maybe_initialize() -> int:
+def maybe_initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
     """Initialize the distributed runtime when running on a multi-host slice.
 
     Returns ``jax.process_count()`` after (possible) initialization. Safe to
-    call multiple times and on single-host/CPU setups.
+    call multiple times and on single-host/CPU setups. Passing explicit
+    coordinator/process arguments forces initialization with them (used by
+    manual launches and the multi-process CPU tests); otherwise pod
+    environments are auto-detected.
     """
     global _initialized
     if _initialized:
+        return jax.process_count()
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _initialized = True
         return jax.process_count()
     # Heuristics: pod environments either set an explicit coordinator or list
     # multiple worker hostnames; plain single-host setups do neither.

@@ -1,0 +1,73 @@
+"""One JAX process of the true multi-process CPU training test.
+
+Launched by ``test_multiprocess.py`` as ``python mp_worker.py <pid> <nproc>
+<port> <data_root> <out_dir>``. Each process owns 2 virtual CPU devices, so
+2 processes form a 4-device data-parallel mesh spanning a real process
+boundary — the TPU-native analogue of the reference's Lightning-DDP
+capability (``/root/reference/FiT/train.py:283``, SURVEY.md §2.2). This
+exercises ``jax.distributed.initialize``, cross-process GSPMD collectives,
+and the ``jax.make_array_from_process_local_data`` batch assembly in
+``Trainer._device_batch`` — none of which the in-process 8-device tests can
+reach.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# the environment's sitecustomize force-sets jax_platforms="axon,cpu"; this
+# test must stay off the (single, shared) real TPU
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/fit_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    data_root, out_dir = sys.argv[4], sys.argv[5]
+
+    from fit_tpu.parallel.distributed import maybe_initialize
+
+    n = maybe_initialize(
+        coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    assert n == nproc, f"process_count {n} != {nproc}"
+    assert jax.local_device_count() == 2
+    assert jax.device_count() == 2 * nproc
+
+    from fit_tpu.train import Trainer
+    from fit_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        feature_path=data_root,
+        feature_val_path="",
+        results_dir=out_dir,  # shared dir; metrics JSONLs are per-process
+        model="FiT-S/2",
+        image_size=64,
+        num_classes=2,
+        epochs=1,
+        global_batch_size=8,  # 4 per host, sharded dp=4 across both processes
+        grad_accum=1,
+        log_every=1,
+        compute_dtype="float32",
+        attn_backend="xla",
+        scan_blocks=False,
+        remat=False,
+        ckpt_every_epochs=1,
+    )
+    trainer = Trainer(cfg)
+    assert trainer.host_id == pid
+    trainer.fit(max_steps=2)
+    print(f"worker {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,3 +60,56 @@ def test_train_then_sample_cli(workdir, monkeypatch):
     lat = np.load(os.path.join(out_dir, files[0]))
     assert lat.shape == (4, 8, 8)  # 64px / vae_scale 8
     assert np.isfinite(lat.astype(np.float32)).all()
+
+
+def test_fid_cli_smoke(tmp_path, monkeypatch, capsys):
+    """fid CLI end to end on synthetic inception weights: dir-vs-dir FID,
+    --save-stats, and dir-vs-npz FID."""
+    torch = pytest.importorskip("torch")
+    Image = pytest.importorskip("PIL.Image")
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_inception import _fake_inception_sd
+
+    weights = tmp_path / "inception.pt"
+    torch.save({k: torch.tensor(v) for k, v in _fake_inception_sd().items()}, weights)
+
+    rng = np.random.default_rng(4)
+    for name in ("gen", "ref"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(4):
+            arr = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    from fit_tpu.cli.fid import main as fid_main
+
+    monkeypatch.setattr(sys, "argv", [
+        "fid", "--samples-dir", str(tmp_path / "gen"),
+        "--reference", str(tmp_path / "ref"),
+        "--inception-weights", str(weights), "--batch-size", "4",
+    ])
+    fid_main()
+    out = capsys.readouterr().out
+    assert "FID:" in out
+    fid_dir = float(out.strip().split("FID:")[1])
+    assert np.isfinite(fid_dir)
+
+    stats = tmp_path / "ref_stats.npz"
+    monkeypatch.setattr(sys, "argv", [
+        "fid", "--samples-dir", str(tmp_path / "ref"),
+        "--inception-weights", str(weights), "--batch-size", "4",
+        "--save-stats", str(stats),
+    ])
+    fid_main()
+    assert stats.exists()
+
+    monkeypatch.setattr(sys, "argv", [
+        "fid", "--samples-dir", str(tmp_path / "gen"),
+        "--reference", str(stats),
+        "--inception-weights", str(weights), "--batch-size", "4",
+    ])
+    fid_main()
+    out = capsys.readouterr().out
+    fid_npz = float(out.strip().split("FID:")[-1])
+    np.testing.assert_allclose(fid_npz, fid_dir, rtol=1e-6)
