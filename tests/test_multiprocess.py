@@ -48,7 +48,6 @@ def _read_losses(path):
     return out
 
 
-@pytest.mark.timeout(600)
 def test_two_process_training_matches_single_process(tmp_path):
     data = tmp_path / "latents"
     _make_data(data)
