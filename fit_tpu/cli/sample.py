@@ -18,6 +18,30 @@ import os
 import numpy as np
 
 
+def _resolve_vae_checkpoint(path: str, kind: str) -> str:
+    """``--vae-checkpoint`` may be a file, or a directory in which the
+    ``vae`` config field ("ema" | "mse") selects the reference's decode model
+    (``sd-vae-ft-ema``/``-mse``, sample_lightning.py:24)."""
+    if not os.path.isdir(path):
+        return path
+    for ext in (".bin", ".safetensors", ".pt", ".pth"):
+        cand = os.path.join(path, f"sd-vae-ft-{kind}{ext}")
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(f"no sd-vae-ft-{kind} checkpoint under {path}")
+
+
+def _parse_sizes(spec: str):
+    """"256x256,224x288" -> [(256, 256), (224, 288)]."""
+    sizes = []
+    for part in spec.replace(" ", ",").split(","):
+        if not part:
+            continue
+        h, w = part.lower().split("x")
+        sizes.append((int(h), int(w)))
+    return sizes
+
+
 def main():
     parser = argparse.ArgumentParser(description="Sample from a trained FiT")
     from fit_tpu.utils.config import SampleConfig, add_dataclass_args, from_args
@@ -53,9 +77,10 @@ def main():
     from fit_tpu.train import create_train_state, make_optimizer
     from fit_tpu.utils.checkpoint import CheckpointManager
 
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
     model = create_fit(
         cfg.model, num_classes=cfg.num_classes, attn_backend=cfg.attn_backend,
-        dtype=jnp.bfloat16, scan_blocks=cfg.scan_blocks,
+        dtype=dtype, scan_blocks=cfg.scan_blocks,
     )
 
     if args.torch_checkpoint:
@@ -88,8 +113,9 @@ def main():
     if args.vae_checkpoint:
         from fit_tpu.vae import AutoencoderKL, load_torch_checkpoint
 
-        vae = AutoencoderKL(dtype=jnp.bfloat16)
-        vae_params = load_torch_checkpoint(args.vae_checkpoint)
+        vae_path = _resolve_vae_checkpoint(args.vae_checkpoint, cfg.vae)
+        vae = AutoencoderKL(dtype=dtype)
+        vae_params = load_torch_checkpoint(vae_path)
         decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
 
     sampler = FiTSampler(
@@ -99,35 +125,54 @@ def main():
     os.makedirs(cfg.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(cfg.global_seed)
     num_batches = math.ceil(cfg.num_samples / cfg.batch_size)
+    mixed_sizes = _parse_sizes(cfg.image_sizes) if cfg.image_sizes else None
+
+    def save_png(idx: int, label: int, img: np.ndarray):
+        from PIL import Image
+
+        img = np.clip((img.astype(np.float32) + 1) / 2, 0, 1)
+        arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(cfg.output_dir, f"generated_image_{idx}_{label}.png")
+        )
+
+    def save_one(idx: int, label: int, latent: np.ndarray):
+        if vae_params is not None:
+            save_png(idx, label, np.asarray(jax.device_get(decode(vae_params, latent[None])))[0])
+        else:
+            np.save(
+                os.path.join(cfg.output_dir, f"latent_{idx}_{label}.npy"),
+                np.asarray(latent).astype(np.float16),
+            )
 
     for batch in range(num_batches):
         n = min(cfg.batch_size, cfg.num_samples - batch * cfg.batch_size)
         rng, lkey, skey = jax.random.split(rng, 3)
         labels = jax.random.randint(lkey, (n,), 0, cfg.num_classes)
         print(f"Starting sampling for batch {batch + 1}/{num_batches}")
-        latents = sampler.sample(
-            params, labels, skey, cfg.image_height, cfg.image_width,
-        )
         labels_np = np.asarray(labels)
-        if vae_params is not None:
-            images = np.asarray(jax.device_get(decode(vae_params, latents)))
-            images = np.clip((images + 1) / 2, 0, 1)
-            from PIL import Image
-
-            for i, img in enumerate(images):
-                idx = batch * cfg.batch_size + i
-                arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
-                Image.fromarray(arr).save(
-                    os.path.join(cfg.output_dir, f"generated_image_{idx}_{labels_np[i]}.png")
-                )
+        if mixed_sizes is not None:
+            # packed mixed-resolution batch: one denoising run, per-sample
+            # RoPE tables + masks (BASELINE config 4)
+            sizes = [
+                mixed_sizes[(batch * cfg.batch_size + i) % len(mixed_sizes)]
+                for i in range(n)
+            ]
+            latents = sampler.sample_mixed(params, labels, sizes, skey)
+            for i, lat in enumerate(latents):
+                save_one(batch * cfg.batch_size + i, labels_np[i], jax.device_get(lat))
         else:
-            lat = np.asarray(jax.device_get(latents))
-            for i in range(n):
-                idx = batch * cfg.batch_size + i
-                np.save(
-                    os.path.join(cfg.output_dir, f"latent_{idx}_{labels_np[i]}.npy"),
-                    lat[i].astype(np.float16),
-                )
+            latents = sampler.sample(
+                params, labels, skey, cfg.image_height, cfg.image_width,
+            )
+            if vae_params is not None:  # one batched decode
+                images = np.asarray(jax.device_get(decode(vae_params, latents)))
+                for i in range(n):
+                    save_png(batch * cfg.batch_size + i, labels_np[i], images[i])
+            else:
+                lat = np.asarray(jax.device_get(latents))
+                for i in range(n):
+                    save_one(batch * cfg.batch_size + i, labels_np[i], lat[i])
     print("All batches processed successfully")
 
 

@@ -68,10 +68,15 @@ class SampleConfig:
     image_height: int = 256
     image_width: int = 256
     num_classes: int = 1000
-    vae: str = "ema"  # "ema" | "mse"
+    vae: str = "ema"  # "ema" | "mse" — selects sd-vae-ft-{ema,mse} when
+    # --vae-checkpoint points at a directory (reference sample_lightning.py:24)
     cfg_scale: float = 1.5
     model: str = "FiT-B/2"
     sampler: str = "ddim"  # "ddim" | "ddpm" | "dpm"
+    dtype: str = "bfloat16"  # "float32" for bit-parity sampling runs
+    # mixed-resolution packed sampling (BASELINE config 4): comma-separated
+    # HxW list, e.g. "256x256,224x288"; sizes cycle across samples
+    image_sizes: str = ""
     batch_size: int = 100
     output_dir: str = "samples"
     global_seed: int = 0

@@ -21,13 +21,15 @@ def workdir(tmp_path_factory):
     return root
 
 
-def test_train_then_sample_cli(workdir, monkeypatch):
+@pytest.fixture(scope="module")
+def trained_ckpt(workdir):
+    """Train 2 steps through the CLI config plumbing once; reused by every
+    sampling-CLI smoke test."""
     from fit_tpu.train import Trainer
-    from fit_tpu.utils.config import TrainConfig, SampleConfig, add_dataclass_args, from_args
+    from fit_tpu.utils.config import TrainConfig, add_dataclass_args, from_args
     import argparse
 
     results = str(workdir / "results")
-    # train via the same config plumbing the CLI uses
     parser = argparse.ArgumentParser()
     add_dataclass_args(parser, TrainConfig)
     args = parser.parse_args([
@@ -41,8 +43,11 @@ def test_train_then_sample_cli(workdir, monkeypatch):
     cfg = from_args(TrainConfig, args)
     Trainer(cfg).fit(max_steps=2)
     assert os.path.exists(os.path.join(results, "config.json"))
-    ckpt_dir = os.path.join(results, "checkpoints")
+    return os.path.join(results, "checkpoints")
 
+
+def test_train_then_sample_cli(workdir, trained_ckpt, monkeypatch):
+    ckpt_dir = trained_ckpt
     # sample via the CLI main (argv-patched); no VAE -> latents saved as .npy
     out_dir = str(workdir / "samples")
     monkeypatch.setattr(sys, "argv", [
@@ -60,6 +65,64 @@ def test_train_then_sample_cli(workdir, monkeypatch):
     lat = np.load(os.path.join(out_dir, files[0]))
     assert lat.shape == (4, 8, 8)  # 64px / vae_scale 8
     assert np.isfinite(lat.astype(np.float32)).all()
+
+
+def test_sample_cli_fp32_dtype(workdir, trained_ckpt, monkeypatch):
+    """--dtype float32: the bit-parity contract (BASELINE 'fp32 per-step
+    latents') must be runnable from the CLI (VERDICT round-1 item 8)."""
+    out_dir = str(workdir / "samples_fp32")
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "--checkpoint-path", trained_ckpt,
+        "--num-samples", "1", "--num-sampling-steps", "2",
+        "--image-height", "64", "--image-width", "64",
+        "--batch-size", "1", "--output-dir", out_dir,
+        "--attn-backend", "xla", "--dtype", "float32",
+    ])
+    from fit_tpu.cli.sample import main as sample_main
+
+    sample_main()
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 1
+    assert np.isfinite(np.load(os.path.join(out_dir, files[0])).astype(np.float32)).all()
+
+
+def test_sample_cli_mixed_sizes(workdir, trained_ckpt, monkeypatch):
+    """--image-sizes: mixed-resolution packed sampling from the CLI
+    (BASELINE config 4) — one denoising run, two different output shapes."""
+    out_dir = str(workdir / "samples_mixed")
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "--checkpoint-path", trained_ckpt,
+        "--num-samples", "2", "--num-sampling-steps", "2",
+        "--image-sizes", "64x64,48x80",
+        "--batch-size", "2", "--output-dir", out_dir,
+        "--attn-backend", "xla",
+    ])
+    from fit_tpu.cli.sample import main as sample_main
+
+    sample_main()
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 2
+    shapes = {np.load(os.path.join(out_dir, f)).shape for f in files}
+    assert shapes == {(4, 8, 8), (4, 6, 10)}
+
+
+def test_vae_checkpoint_resolution(tmp_path):
+    from fit_tpu.cli.sample import _parse_sizes, _resolve_vae_checkpoint
+
+    assert _parse_sizes("256x256,224x288") == [(256, 256), (224, 288)]
+    assert _parse_sizes("256x256 224x288") == [(256, 256), (224, 288)]
+
+    (tmp_path / "sd-vae-ft-ema.bin").touch()
+    (tmp_path / "sd-vae-ft-mse.safetensors").touch()
+    assert _resolve_vae_checkpoint(str(tmp_path), "ema").endswith("sd-vae-ft-ema.bin")
+    assert _resolve_vae_checkpoint(str(tmp_path), "mse").endswith("sd-vae-ft-mse.safetensors")
+    # a direct file path passes through untouched
+    f = tmp_path / "anything.pt"
+    f.touch()
+    assert _resolve_vae_checkpoint(str(f), "ema") == str(f)
+    (tmp_path / "empty_dir").mkdir()
+    with pytest.raises(FileNotFoundError):
+        _resolve_vae_checkpoint(str(tmp_path / "empty_dir"), "ema")
 
 
 def test_fid_cli_smoke(tmp_path, monkeypatch, capsys):
