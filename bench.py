@@ -49,14 +49,14 @@ def init_params(model, head_dim):
     )
 
 
-def measure(model, params, batch, steps, seed=0):
+def measure(model, params, batch, steps, seed=0, size=256):
     from fit_tpu.sampling import FiTSampler
 
     sampler = FiTSampler(model, num_sampling_steps=steps, cfg_scale=1.5, sampler="ddpm")
     labels = list(range(batch))
 
     def run(s):
-        out = sampler.sample(params, labels, jax.random.PRNGKey(s), 256, 256)
+        out = sampler.sample(params, labels, jax.random.PRNGKey(s), size, size)
         # force completion with a host readback: on some PJRT transports
         # block_until_ready returns at dispatch, so fetch real bytes.
         return jax.device_get(out[:, 0, 0, 0])
@@ -66,6 +66,47 @@ def measure(model, params, batch, steps, seed=0):
     run(seed + 1)
     dt = time.perf_counter() - t0
     return batch / dt, dt / steps
+
+
+def roofline_report(model, params, batch, size, step_lat_s):
+    """MFU + per-component roofline bounds for one denoise step.
+
+    The denoise step runs the CFG-duplicated forward (2 x batch) at the
+    canvas token count. Bounds are ideal times at peak rates: they anchor
+    what any implementation could achieve (a step can never run faster than
+    max(dense+attn+rope compute, parameter reads))."""
+    from fit_tpu.utils.flops import fit_forward_flops, peak_flops, peak_hbm_bw
+
+    t_tokens = max((size // 8 // model.patch_size) ** 2, 256)
+    fl = fit_forward_flops(
+        model.hidden_size, model.depth, model.num_heads, t=t_tokens, batch=2 * batch
+    )
+    peak = peak_flops()
+    bw = peak_hbm_bw()
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(params) if hasattr(x, "shape")
+    )
+    report = {
+        "seq_tokens": t_tokens,
+        "forward_tflops": round(fl.total / 1e12, 3),
+        "measured_step_ms": round(step_lat_s * 1e3, 3),
+    }
+    if peak:
+        ideal = {
+            "dense_matmul_ms": fl.dense / peak * 1e3,
+            "attention_ms": fl.attention / peak * 1e3,
+            "rope_ms": fl.rope / peak * 1e3,
+            "cond_ms": fl.cond / peak * 1e3,
+        }
+        compute_ms = sum(ideal.values())
+        report.update({k: round(v, 3) for k, v in ideal.items()})
+        report["mfu"] = round(fl.total / step_lat_s / peak, 4)
+        report["compute_bound_ms"] = round(compute_ms, 3)
+        report["overhead_ms"] = round(step_lat_s * 1e3 - compute_ms, 3)
+    if bw:
+        # every step reads all params once (bf16); activations are small
+        report["param_read_ms"] = round(n_params * 2 / bw * 1e3, 3)
+    return report
 
 
 def build_train(model_name):
@@ -121,7 +162,10 @@ def measure_train(model_name, batch, grad_accum=2, iters=10):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["sample", "train"], default="sample")
+    ap.add_argument(
+        "--mode", choices=["sample", "train", "extrapolate"], default="sample",
+        help="extrapolate = 512x512 via VisionNTK (T=1024, attention-dominated)",
+    )
     ap.add_argument("--model", default="FiT-XL/2")
     # throughput peaks at small batch (bandwidth-bound regime; see sweep in
     # PROGRESS notes) — batch 8 is the measured optimum on v5e
@@ -132,8 +176,12 @@ def main():
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
+    size = 512 if args.mode == "extrapolate" else 256
     if not on_tpu:  # smoke mode
         args.model, args.batch, args.steps, args.baseline_steps = "FiT-S/2", 2, 4, 4
+        size = 128 if args.mode == "extrapolate" else 256
+    if args.mode == "extrapolate":
+        args.steps = min(args.steps, 50)  # T=1024 steps are ~3x slower
 
     if args.mode == "train":
         model_name = "FiT-B/2" if args.model == "FiT-XL/2" else args.model
@@ -154,7 +202,7 @@ def main():
     model = build(args.model, jnp.bfloat16, "auto")
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
-    imgs_per_sec, step_lat = measure(model, params, args.batch, args.steps)
+    imgs_per_sec, step_lat = measure(model, params, args.batch, args.steps, size=size)
 
     vs_baseline = 1.0
     if not args.skip_baseline:
@@ -163,23 +211,31 @@ def main():
         # terminal's --xla_allow_excess_precision mirrors), materialized
         # (B,H,T,T) scores, separate RoPE. Measured at the SAME step count
         # as a re-measure of ours so the ratio is apples-to-apples.
-        _, our_lat_short = measure(model, params, args.batch, args.baseline_steps, seed=50)
+        _, our_lat_short = measure(
+            model, params, args.batch, args.baseline_steps, seed=50, size=size
+        )
         naive = build(args.model, jnp.float32, "xla")
         naive_params = init_params(naive, head_dim)
         _, naive_lat_short = measure(
-            naive, naive_params, args.batch, args.baseline_steps, seed=100
+            naive, naive_params, args.batch, args.baseline_steps, seed=100, size=size
         )
         vs_baseline = naive_lat_short / our_lat_short
 
-    print(json.dumps({
-        "metric": f"images/sec/chip {args.model} 256x256 {args.steps}-step DDPM cfg",
+    out = {
+        "metric": f"images/sec/chip {args.model} {size}x{size} {args.steps}-step DDPM cfg",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s/chip",
         "vs_baseline": round(vs_baseline, 4),
         "p50_step_latency_ms": round(step_lat * 1e3, 3),
         "batch": args.batch,
         "backend": jax.default_backend(),
-    }))
+    }
+    # MFU + roofline bounds: what the hardware permits at these shapes, so
+    # the vs_baseline target is anchored to physics (VERDICT item 1)
+    out["roofline"] = roofline_report(model, params, args.batch, size, step_lat)
+    if "mfu" in out["roofline"]:
+        out["mfu"] = out["roofline"]["mfu"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -307,13 +307,42 @@ def _fwd(q, k, v, cos, sin, lengths, scale):
     return out, (q, k, v, cos, sin, lengths)
 
 
+def _use_pallas_bwd(t: int) -> bool:
+    """Measured per-T backend choice for the attention backward.
+
+    v5e measurements (FiT-B/2 training step, bf16, batch 128; see PROGRESS):
+
+    ========  ==================  =====================  ========
+    T         Pallas flash bwd    XLA einsum bwd         winner
+    ========  ==================  =====================  ========
+    32-128    ~3x slower          fast (tiny tiles)      XLA
+    256       484 img/s (+12%)    429 img/s              Pallas
+    512       wins (same shape    materializes (B,H,T,T) Pallas
+              regime as 256)      fp32 scores
+    1024      VMEM-chunked heads  materializes fp32      Pallas
+                                  (B,H,T,T) scores
+    ========  ==================  =====================  ========
+
+    Override with $FIT_TPU_PALLAS_BWD = always | never | auto.
+    """
+    import os
+
+    mode = os.environ.get("FIT_TPU_PALLAS_BWD", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    if jax.default_backend() != "tpu":
+        # interpret-mode kernels are slow; keep CPU tests quick but still
+        # exercise the kernel path at the training shapes
+        return t <= 512
+    return 256 <= t <= 1024
+
+
 def _bwd(scale, res, g):
     q, k, v, cos, sin, lengths = res
     t = q.shape[1]
-    # Pallas flash backward pays off when the per-head score tile is big
-    # enough to amortize program overhead (measured on v5e: +12% at T=256,
-    # 3x slower at the small bucket sizes); XLA einsums handle the rest.
-    if 256 <= t <= 512 or (jax.default_backend() != "tpu" and t <= 512):
+    if _use_pallas_bwd(t):
         qh, kh, vh, gh = (a.transpose(0, 2, 1, 3) for a in (q, k, v, g))
         dq, dk, dv = _backward(qh, kh, vh, gh, cos, sin, lengths, scale)
         return (
