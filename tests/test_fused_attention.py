@@ -102,6 +102,37 @@ def test_fused_gradients_match_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_fused_gradients_t1024_pallas_bwd(monkeypatch):
+    """Gradient equivalence at T=1024 (the 512x512 extrapolation shape),
+    forcing the Pallas flash-backward (VMEM head-chunked: hc=4 of 8 heads at
+    d=64) against the XLA einsum backward (VERDICT round-1 item 10)."""
+    b, t, h, d = 1, 1024, 8, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    fc = jnp.asarray(rope_freqs_2d(d, 32, 32)[None].astype(np.float32))  # (1, 1024, d)
+    lengths = jnp.asarray([1000], jnp.int32)
+    cos, sin = split_rope_tables(fc)
+    qmask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)[..., None, None]
+
+    # head-chunking must actually engage at these shapes
+    from fit_tpu.ops.fused_attention import _head_chunk
+
+    assert _head_chunk(h, t, d, 4) < h
+
+    def loss(q, k, v):
+        o = rope_flash_attention(q, k, v, cos, sin, lengths, d**-0.5)
+        return jnp.sum(jnp.sin(o) * qmask)
+
+    monkeypatch.setenv("FIT_TPU_PALLAS_BWD", "always")
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("FIT_TPU_PALLAS_BWD", "never")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
 def test_model_fused_backend_matches_xla():
     """FiT with attn_backend='fused' == attn_backend='xla' numerically."""
     from fit_tpu.models import FiT
