@@ -46,6 +46,7 @@ Array = jnp.ndarray
 __all__ = ["rope_flash_attention", "split_rope_tables", "rotation_matrix"]
 
 NEG_INF = float("-inf")
+LOG2_E = 1.4426950408889634  # log2(e): softmax via exp2 (VPU-native)
 
 
 def rotation_matrix(d: int, dtype=jnp.float32) -> Array:
@@ -103,7 +104,10 @@ def _kernel(
         )
         return x * cos_all + xr * sin_all
 
-    qr_all = rope_all(q_ref) * scale  # (H*T, d)
+    # fold softmax's ln2 conversion into the score scale: exp(x) == exp2(
+    # x * log2 e), and exp2 is the VPU-native transcendental — one fewer
+    # (T, T) multiply per head
+    qr_all = rope_all(q_ref) * (scale * LOG2_E)  # (H*T, d)
     kr_all = rope_all(k_ref)
 
     for h in range(num_heads):  # static unroll; leading-dim slices are free
@@ -115,12 +119,107 @@ def _kernel(
         )
         s = s + neg_mask
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        # normalize on the (T, d) output, not the (T, T) matrix: T/d fewer
+        # VPU divides (d=72 vs T=256+ at FiT shapes)
+        z = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        o_ref[0, h] = o.astype(o_ref.dtype)
+        o_ref[0, h] = (o / z).astype(o_ref.dtype)
+
+
+def _kernel_direct(
+    lengths_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, T, H, d) — the model's native layout, NO XLA-side transpose
+    k_ref,
+    v_ref,
+    cos_ref,  # (1, T, d) f32
+    sin_ref,
+    o_ref,  # (1, T, H, d)
+    *,
+    scale: float,
+    num_heads: int,
+):
+    """Same math as :func:`_kernel`, but blocks arrive in the model's
+    (B, T, H, d) layout and heads are accessed with strided per-head VMEM
+    slices; output is written head-major (one XLA transpose on the way back).
+
+    Status: env-gated EXPERIMENT ($FIT_TPU_ATTN_LAYOUT=direct), measured
+    SLOWER than the default transpose feed. Context: XLA feeds the default
+    (B, H, T, d) kernel through a 3-stage relayout pipeline that scales
+    super-linearly with batch (~95 ms/forward at XL/2 B=128 — profiled via
+    op_profile; the round-1 batch-throughput anomaly). Every in-kernel
+    alternative measured worse on v5e (XL/2 forward, ms at CFG-batch
+    16/128): XLA-transpose feed 52.6/316 (best), in-VMEM bulk transpose
+    60.3/327, strided per-head slices (this kernel) 61.8/359, 128-lane
+    head padding 58.2/357. At d=72 there is no cheap relayout on this
+    hardware/toolchain; the XLA copies win. Kept as the measurement record
+    and for future Mosaic versions.
+    """
+    b = pl.program_id(0)
+    t = q_ref.shape[1]
+    d = q_ref.shape[3]
+    length = lengths_ref[b]
+
+    cos = cos_ref[0]  # (T, d)
+    sin = sin_ref[0]
+    s_rot = rotation_matrix(d)
+
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (T, T)
+
+    def rope(x):
+        xr = jax.lax.dot_general(
+            x, s_rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return x * cos + xr * sin
+
+    for h in range(num_heads):
+        q = q_ref[0, :, h, :].astype(jnp.float32)  # strided (T, d) slice
+        k = k_ref[0, :, h, :].astype(jnp.float32)
+        v = v_ref[0, :, h, :].astype(jnp.float32)
+        qr = rope(q) * (scale * LOG2_E)
+        kr = rope(k)
+        s = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + neg_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        z = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # output block is HEAD-MAJOR (1, hc, T, d): leading-index writes are
+        # the one store pattern Mosaic lowers cleanly; the single XLA
+        # transpose back to (B, T, H, d) is cheap next to the 3-stage input
+        # relayout this kernel avoids
+        o_ref[0, h] = (o / z).astype(o_ref.dtype)
+
+
+def _forward_direct(q, k, v, cos, sin, lengths, scale):
+    """q, k, v: (B, T, H, d) — the model layout, consumed directly.
+    Returns (B, H, T, d) — callers transpose back (one XLA copy total)."""
+    b, t, h, d = q.shape
+    hc = _head_chunk(h, t, d, q.dtype.itemsize)
+    kernel = functools.partial(_kernel_direct, scale=scale, num_heads=hc)
+    spec = pl.BlockSpec((1, t, hc, d), lambda i, j, lens: (i, 0, j, 0))
+    spec_tab = pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hc),
+            in_specs=[spec, spec, spec, spec_tab, spec_tab],
+            out_specs=pl.BlockSpec((1, hc, t, d), lambda i, j, lens: (i, j, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, q, k, v, cos, sin)
 
 
 def _head_chunk(h: int, t: int, d: int, itemsize: int, budget_bytes: int = 6 << 20) -> int:
@@ -289,17 +388,29 @@ def _xla_reference(q, k, v, cos, sin, lengths, scale):
 
 
 def _forward_bthd(q, k, v, cos, sin, lengths, scale):
+    import os
+
+    # "transpose" (default): XLA-side transposes around the (B, H, T, d)
+    # kernel — measured faster than "direct" (kernel consumes (B, T, H, d)
+    # and relayouts in VMEM), which loses to Mosaic's in-VMEM shuffle cost.
+    if os.environ.get("FIT_TPU_ATTN_LAYOUT", "transpose") == "direct":
+        out = _forward_direct(q, k, v, cos, sin, lengths, scale)
+        return out.transpose(0, 2, 1, 3)
     qh, kh, vh = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
     out = _forward(qh, kh, vh, cos, sin, lengths, scale)
     return out.transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _rope_flash_core(q, k, v, cos, sin, lengths, scale):
+    return _forward_bthd(q, k, v, cos, sin, lengths, scale)
+
+
 def rope_flash_attention(q, k, v, cos, sin, lengths, scale):
     """Fused RoPE + masked attention. q/k/v: (B, T, H, d); cos/sin: (B, T, d)
     fp32 pair-duplicated tables (see :func:`split_rope_tables`); lengths:
     (B,) int32 prefix-valid lengths. Returns (B, T, H, d) in q's dtype."""
-    return _forward_bthd(q, k, v, cos, sin, lengths, scale)
+    return _rope_flash_core(q, k, v, cos, sin, lengths, scale)
 
 
 def _fwd(q, k, v, cos, sin, lengths, scale):
@@ -375,4 +486,4 @@ def _bwd(scale, res, g):
     return dq, dk, dv.astype(v.dtype), None, None, None
 
 
-rope_flash_attention.defvjp(_fwd, _bwd)
+_rope_flash_core.defvjp(_fwd, _bwd)
