@@ -88,8 +88,10 @@ def _kernel(
     sin = sin_ref[0]
     s_rot = rotation_matrix(d)
 
-    key_col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (T, T)
+    # (1, T) key mask broadcasts across query rows — materializing the
+    # (T, T) form costs 4 MB of VMEM at T=1024 (scoped-vmem OOM)
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (1, T)
 
     # RoPE for ALL heads in two big dots (M = H*T fills the MXU; 2 dots
     # instead of 2*H tiny (T,d)@(d,d) ones)
@@ -166,8 +168,10 @@ def _kernel_direct(
     sin = sin_ref[0]
     s_rot = rotation_matrix(d)
 
-    key_col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (T, T)
+    # (1, T) key mask broadcasts across query rows — materializing the
+    # (T, T) form costs 4 MB of VMEM at T=1024 (scoped-vmem OOM)
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (1, T)
 
     def rope(x):
         xr = jax.lax.dot_general(
@@ -256,6 +260,9 @@ def _forward(q, k, v, cos, sin, lengths, scale):
             # batch dim "parallel": v5e has 2 megacores; this distributes
             # grid rows across them (guide: megacore parallelism)
             dimension_semantics=("parallel", "arbitrary"),
+            # T=1024 keeps two (T, T) fp32 score temporaries live (~8 MB)
+            # alongside the qkv blocks; the default 16 MB scoped limit OOMs
+            vmem_limit_bytes=(32 << 20) if t >= 1024 else None,
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, q, k, v, cos, sin)
@@ -291,8 +298,10 @@ def _bwd_kernel(
     sin = sin_ref[0]
     s_rot = rotation_matrix(d)
 
-    key_col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)
+    # (1, T) key mask broadcasts across query rows — materializing the
+    # (T, T) form costs 4 MB of VMEM at T=1024 (scoped-vmem OOM)
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (1, T)
 
     def dot(a, bb, dims):
         return jax.lax.dot_general(a, bb, (dims, ((), ())), preferred_element_type=jnp.float32)
@@ -359,6 +368,8 @@ def _backward(q, k, v, g, cos, sin, lengths, scale):
             # batch dim "parallel": v5e has 2 megacores; this distributes
             # grid rows across them (guide: megacore parallelism)
             dimension_semantics=("parallel", "arbitrary"),
+            # see _forward: (T, T) temporaries exceed the 16 MB scope at 1024
+            vmem_limit_bytes=(48 << 20) if t >= 1024 else None,
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, q, k, v, g, cos, sin)
@@ -393,6 +404,9 @@ def _forward_bthd(q, k, v, cos, sin, lengths, scale):
     # "transpose" (default): XLA-side transposes around the (B, H, T, d)
     # kernel — measured faster than "direct" (kernel consumes (B, T, H, d)
     # and relayouts in VMEM), which loses to Mosaic's in-VMEM shuffle cost.
+    # (A per-(b, h) grid whose strided input DMA would do the relayout during
+    # the fetch is rejected by Pallas: block dim -2 must be divisible by 8 or
+    # equal to the array dim, so H cannot be tiled at granularity 1.)
     if os.environ.get("FIT_TPU_ATTN_LAYOUT", "transpose") == "direct":
         out = _forward_direct(q, k, v, cos, sin, lengths, scale)
         return out.transpose(0, 2, 1, 3)
