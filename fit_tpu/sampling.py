@@ -105,19 +105,28 @@ class FiTSampler:
     def _cast_params(self, params):
         """Sampling-time params live in the compute dtype: casting once here
         saves a per-block fp32->bf16 weight cast inside every denoise step
-        (28 x ~24M params per step at XL/2). Cached by identity."""
+        (28 x ~24M params per step at XL/2). Cached keyed on a weakref to the
+        first leaf (an ``id()`` key could silently alias a new pytree after
+        the old one is garbage-collected and its id recycled)."""
         if self.model.dtype == jnp.float32:
             return params
-        key = id(params)
-        if self._cast_cache[0] == key:
-            return self._cast_cache[1]
+        import weakref
+
+        leaves = jax.tree.leaves(params)
+        cached_ref, cached = self._cast_cache
+        if cached_ref is not None and leaves and cached_ref() is leaves[0]:
+            return cached
         cast = jax.tree.map(
             lambda x: x.astype(self.model.dtype)
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
             else x,
             params,
         )
-        self._cast_cache = (key, cast)
+        if leaves:
+            try:
+                self._cast_cache = (weakref.ref(leaves[0]), cast)
+            except TypeError:  # non-weakrefable leaf (plain numpy scalar)
+                self._cast_cache = (None, None)
         return cast
 
     def _head_dim(self) -> int:
