@@ -193,6 +193,22 @@ class Trainer:
             spec = P()
         return jax.device_put(dev, NamedSharding(self.mesh, spec))
 
+    def _device_prefetched(self, batches, depth: int = 2):
+        """Yield ``(device_batch, host_batch)`` with device transfers enqueued
+        ``depth`` batches ahead: ``device_put`` is asynchronous, so the
+        host->device copy of batch N+1 overlaps the step on batch N instead
+        of serializing with it (measured: real-data training goes from the
+        transfer-bound rate to the synthetic-bench rate)."""
+        import collections
+
+        q = collections.deque()
+        for b in batches:
+            q.append((self._device_batch(b), b))
+            if len(q) > depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
     def fit(self, max_steps: Optional[int] = None):
         cfg = self.cfg
         self.state = self._init_state() if self.state is None else self.state
@@ -217,13 +233,15 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.epochs):
             start_batch = self.start_batch if epoch == self.start_epoch else 0
             batch_index = start_batch
-            for batch in self.loader.prefetched(
-                epoch, num_threads=cfg.num_workers, start_batch=start_batch
+            for dev_batch, batch in self._device_prefetched(
+                self.loader.prefetched(
+                    epoch, num_threads=cfg.num_workers, start_batch=start_batch
+                )
             ):
                 rng, step_rng = jax.random.split(rng)
                 if cfg.profile_dir and host_step == 10:
                     jax.profiler.start_trace(cfg.profile_dir)
-                state, metrics = self.train_step(state, self._device_batch(batch), step_rng)
+                state, metrics = self.train_step(state, dev_batch, step_rng)
                 host_step += 1
                 batch_index += 1
                 if cfg.profile_dir and host_step == 20:
