@@ -437,16 +437,22 @@ def _use_pallas_bwd(t: int) -> bool:
 
     v5e measurements (FiT-B/2 training step, bf16, batch 128; see PROGRESS):
 
-    ========  ==================  =====================  ========
-    T         Pallas flash bwd    XLA einsum bwd         winner
-    ========  ==================  =====================  ========
-    32-128    ~3x slower          fast (tiny tiles)      XLA
-    256       484 img/s (+12%)    429 img/s              Pallas
-    512       wins (same shape    materializes (B,H,T,T) Pallas
-              regime as 256)      fp32 scores
-    1024      VMEM-chunked heads  materializes fp32      Pallas
-                                  (B,H,T,T) scores
-    ========  ==================  =====================  ========
+    ========  =====================  =====================  ========
+    T         Pallas flash bwd       XLA einsum bwd         winner
+    ========  =====================  =====================  ========
+    32-128    ~3x slower             fast (tiny tiles)      XLA
+    256       484 img/s in-training  429 img/s (B/2 micro-  Pallas
+              (+12%, micro-batch     batch 64: 800 MB of
+              64)                    fp32 scores)
+    512       wins (same regime)     materializes scores    Pallas
+    1024      5.3 ms/grad (B=8,      7.8 ms/grad (1.46x     Pallas
+              H=16, d=72, r2         slower)
+              grad micro-bench)
+    ========  =====================  =====================  ========
+
+    At small batch AND T=256 the margin flips (micro-bench B=8: Pallas 4.1 vs
+    XLA 3.6 ms — the score tensor fits comfortably), but training batches
+    are large, so the T-gate keeps the in-training winner.
 
     Override with $FIT_TPU_PALLAS_BWD = always | never | auto.
     """
