@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 
 from fit_tpu.ops.attention import mask_to_lengths, masked_attention
-from fit_tpu.ops.fused_attention import rope_flash_attention
+from fit_tpu.ops.fused_attention import (
+    qkv_rope_flash_attention,
+    rope_flash_attention,
+)
 
 Array = jnp.ndarray
 Dtype = Any
@@ -232,21 +235,26 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(
             3 * self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="qkv"
         )(x)
-        qkv = qkv.reshape(b, n, 3, h, d)  # no head transpose: slices are free
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
 
         # Fused RoPE+attention kernel path: FiT passes pre-split (cos, sin)
         # tables instead of the raw interleaved table (see FiT.__call__).
+        # The kernel consumes the qkv projection output in its NATIVE
+        # (B, N, 3C) layout — per-head extraction happens in VMEM, so XLA
+        # inserts ZERO relayout copies around the attention sublayer
+        # (profiled at ~29% of an XL/2 T=1024 forward with the reshaped
+        # (B, H, T, d) feed; see ops.fused_attention).
         if isinstance(freqs_cis, tuple):
             cos, sin = freqs_cis
             lengths = (
                 mask_to_lengths(mask) if mask is not None else jnp.full((b,), n, jnp.int32)
             )
-            out = rope_flash_attention(q, k, v, cos, sin, lengths, d**-0.5)
-            out = out.reshape(b, n, self.dim)
+            out = qkv_rope_flash_attention(qkv, cos, sin, lengths, d**-0.5, h)
             return nn.Dense(
                 self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="proj"
             )(out)
+
+        qkv = qkv.reshape(b, n, 3, h, d)  # no head transpose: slices are free
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
 
         backend = self.attn_backend
         if backend == "auto":

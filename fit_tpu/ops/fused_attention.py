@@ -43,7 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-__all__ = ["rope_flash_attention", "split_rope_tables", "rotation_matrix"]
+__all__ = [
+    "rope_flash_attention",
+    "qkv_rope_flash_attention",
+    "split_rope_tables",
+    "rotation_matrix",
+]
 
 NEG_INF = float("-inf")
 LOG2_E = 1.4426950408889634  # log2(e): softmax via exp2 (VPU-native)
@@ -88,11 +93,6 @@ def _kernel(
     sin = sin_ref[0]
     s_rot = rotation_matrix(d)
 
-    # (1, T) key mask broadcasts across query rows — materializing the
-    # (T, T) form costs 4 MB of VMEM at T=1024 (scoped-vmem OOM)
-    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
-    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (1, T)
-
     # RoPE for ALL heads in two big dots (M = H*T fills the MXU; 2 dots
     # instead of 2*H tiny (T,d)@(d,d) ones)
     hc = num_heads
@@ -106,29 +106,54 @@ def _kernel(
         )
         return x * cos_all + xr * sin_all
 
+    # Score/PV dots run in the MODEL dtype: the reference casts the rotated
+    # q/k back to the autocast dtype before the score matmul
+    # (fit.py:169-170 ``.to(dtype)``) and softmax's output is likewise bf16
+    # under autocast, so bf16 dot inputs are parity-faithful AND run the MXU
+    # at full rate (fp32 matmuls decompose into multiple passes). fp32
+    # inputs keep fp32 dots — the bit-parity oracle mode the tests use.
+    dot_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
     # fold softmax's ln2 conversion into the score scale: exp(x) == exp2(
     # x * log2 e), and exp2 is the VPU-native transcendental — one fewer
     # (T, T) multiply per head
-    qr_all = rope_all(q_ref) * (scale * LOG2_E)  # (H*T, d)
-    kr_all = rope_all(k_ref)
+    qr_all = (rope_all(q_ref) * (scale * LOG2_E)).astype(dot_dtype)  # (H*T, d)
+    kr_all = rope_all(k_ref).astype(dot_dtype)
 
-    for h in range(num_heads):  # static unroll; leading-dim slices are free
-        qr = qr_all[h * t : (h + 1) * t]
-        kr = kr_all[h * t : (h + 1) * t]
-        v = v_ref[0, h].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s + neg_mask
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        # normalize on the (T, d) output, not the (T, T) matrix: T/d fewer
-        # VPU divides (d=72 vs T=256+ at FiT shapes)
-        z = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        o_ref[0, h] = (o / z).astype(o_ref.dtype)
+    def heads(masked: bool):
+        # (1, T) key mask broadcasts across query rows — materializing the
+        # (T, T) form costs 4 MB of VMEM at T=1024 (scoped-vmem OOM)
+        key_col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)  # (1, T)
+        for h in range(num_heads):  # static unroll; leading-dim slices are free
+            qr = qr_all[h * t : (h + 1) * t]
+            kr = kr_all[h * t : (h + 1) * t]
+            v = v_ref[0, h].astype(dot_dtype)
+            s = jax.lax.dot_general(
+                qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if masked:
+                s = s + neg_mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m).astype(dot_dtype)
+            # normalize on the (T, d) output, not the (T, T) matrix: T/d fewer
+            # VPU divides (d=72 vs T=256+ at FiT shapes); z sums the SAME
+            # rounded p the PV dot consumes, so o/z is an exact average
+            z = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            o_ref[0, h] = (o / z).astype(o_ref.dtype)
+
+    # Full-length rows (every sampling batch at a single resolution) skip the
+    # mask add entirely — one fewer (T, T) VPU pass per head.
+    @pl.when(length >= t)
+    def _():
+        heads(masked=False)
+
+    @pl.when(length < t)
+    def _():
+        heads(masked=True)
 
 
 def _kernel_direct(
@@ -320,26 +345,34 @@ def _bwd_kernel(
         # S is antisymmetric: gx*sin @ S^T == -(gx*sin @ S)
         return gx * cos - dot(gx * sin, s_rot, ((1,), (0,)))
 
-    qr_all = rope_all(q_ref) * scale
-    kr_all = rope_all(k_ref)
+    # bf16 dot inputs on bf16 activations (reference-faithful: autocast
+    # backward runs the same-dtype matmuls); fp32 keeps the oracle mode.
+    dot_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    # exp2 with log2e folded into the score scale, as in the forward
+    qr_all = (rope_all(q_ref) * (scale * LOG2_E)).astype(dot_dtype)
+    kr_all = rope_all(k_ref).astype(dot_dtype)
 
     for h in range(num_heads):
         qr = qr_all[h * t : (h + 1) * t]
         kr = kr_all[h * t : (h + 1) * t]
-        v = v_ref[0, h].astype(jnp.float32)
-        g = g_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(dot_dtype)
+        g = g_ref[0, h].astype(dot_dtype)
 
         s = dot(qr, kr, ((1,), (1,))) + neg_mask
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dot_dtype)
 
         dv = dot(p, g, ((0,), (0,)))  # p^T g: (Tk, d)
         dp = dot(g, v, ((1,), (1,)))  # (Tq, Tk)
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # (Tq, 1)
-        ds = p * (dp - delta)
+        pf = p.astype(jnp.float32)
+        delta = jnp.sum(pf * dp, axis=-1, keepdims=True)  # (Tq, 1)
+        ds = (pf * (dp - delta)).astype(dot_dtype)
+        # ds is in the natural-log score domain; kr is unscaled, qr carries
+        # scale*log2e — divide the fold back out of dkr
         dqr = dot(ds, kr, ((1,), (0,))) * scale
-        dkr = dot(ds, qr, ((0,), (0,)))  # ds^T qr: (Tk, d)
+        dkr = dot(ds, qr, ((0,), (0,))) * (1.0 / LOG2_E)  # ds^T qr: (Tk, d)
 
         dq_ref[0, h] = rope_vjp(dqr).astype(dq_ref.dtype)
         dk_ref[0, h] = rope_vjp(dkr).astype(dk_ref.dtype)
@@ -507,3 +540,264 @@ def _bwd(scale, res, g):
 
 
 _rope_flash_core.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Natural-layout fused attention: consumes the raw qkv projection output.
+#
+# XLA feeds the (B, H, T, d) kernel above through a 3-stage HBM relayout
+# pipeline ((B,T,3C) -> {1,2,0} copy -> 5D copy -> per-tensor transposes)
+# because d=72 head tiles are lane-misaligned; profiled at ~45 ms of a 157 ms
+# XL/2 T=1024 forward (~29% of the step, running at ~2% of HBM bandwidth).
+# This kernel takes the qkv matmul output (B, T, 3C) in its NATIVE layout —
+# q/k/v enter as three lane-block views of the same array (aligned, dense
+# DMA) — and does the per-head (t, d) extraction in VMEM, where the
+# misaligned lane slice is a register shuffle instead of an HBM round trip.
+# The output lands dense (B, T, C), ready for the out-projection: ZERO
+# XLA-side copies around the attention sublayer. Measured (XL/2, T=1024,
+# CFG batch 16, v5e, device-chained): 3.38 -> 2.72 ms per attention sublayer,
+# bit-identical outputs.
+# ---------------------------------------------------------------------------
+
+
+def _qkv_kernel(
+    lengths_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, T, C) — lane-block view of qkv at columns [0, C)
+    k_ref,  # (1, T, C) — view at [C, 2C)
+    v_ref,  # (1, T, C) — view at [2C, 3C)
+    cos_ref,  # (1, T, d) f32
+    sin_ref,
+    o_ref,  # (1, T, C)
+    *,
+    scale: float,
+    num_heads: int,
+):
+    b = pl.program_id(0)
+    t = q_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+    length = lengths_ref[b]
+
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    s_rot = rotation_matrix(d)
+    dot_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    def rope(x):
+        xr = jax.lax.dot_general(
+            x, s_rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return x * cos + xr * sin
+
+    def heads(masked: bool):
+        key_col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            q = q_ref[0, :, sl].astype(jnp.float32)
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl].astype(dot_dtype)
+            qr = (rope(q) * (scale * LOG2_E)).astype(dot_dtype)
+            kr = rope(k).astype(dot_dtype)
+            s = jax.lax.dot_general(
+                qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if masked:
+                s = s + neg_mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m).astype(dot_dtype)
+            z = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            o_ref[0, :, sl] = (o / z).astype(o_ref.dtype)
+
+    @pl.when(length >= t)
+    def _():
+        heads(False)
+
+    @pl.when(length < t)
+    def _():
+        heads(True)
+
+
+def _qkv_forward(qkv, cos, sin, lengths, scale, num_heads):
+    b, t, w = qkv.shape
+    c = w // 3
+    kernel = functools.partial(_qkv_kernel, scale=scale, num_heads=num_heads)
+    spec_c = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 0))
+    spec_k = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 1))
+    spec_v = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 2))
+    d = c // num_heads
+    spec_tab = pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[spec_c, spec_k, spec_v, spec_tab, spec_tab],
+            out_specs=pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # q/k/v/out blocks + two (T, T) score temporaries at T=1024
+            vmem_limit_bytes=(64 << 20) if t >= 512 else None,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, qkv, qkv, qkv, cos, sin)
+
+
+def _qkv_bwd_kernel(
+    lengths_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, T, C) lane-block views of qkv, as in the forward
+    k_ref,
+    v_ref,
+    g_ref,  # (1, T, C) upstream gradient
+    cos_ref,  # (1, T, d) f32
+    sin_ref,
+    dqkv_ref,  # (1, T, 3C)
+    *,
+    scale: float,
+    num_heads: int,
+):
+    """Flash backward in the natural layout: recompute p per head in VMEM,
+    write dq/dk/dv into the (T, 3C) gradient block at their native offsets."""
+    b = pl.program_id(0)
+    t = q_ref.shape[1]
+    c = q_ref.shape[2]
+    d = c // num_heads
+    length = lengths_ref[b]
+
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    s_rot = rotation_matrix(d)
+    dot_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)
+
+    def dot(a, bb, dims):
+        return jax.lax.dot_general(a, bb, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+    def rope(x):
+        xr = dot(x, s_rot, ((1,), (0,)))
+        return x * cos + xr * sin
+
+    def rope_vjp(gx):
+        # S is antisymmetric: gx*sin @ S^T == -(gx*sin @ S)
+        return gx * cos - dot(gx * sin, s_rot, ((1,), (0,)))
+
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl].astype(jnp.float32)
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl].astype(dot_dtype)
+        g = g_ref[0, :, sl].astype(dot_dtype)
+
+        qr = (rope(q) * (scale * LOG2_E)).astype(dot_dtype)
+        kr = rope(k).astype(dot_dtype)
+        s = dot(qr, kr, ((1,), (1,))) + neg_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dot_dtype)
+
+        dv = dot(p, g, ((0,), (0,)))  # p^T g: (Tk, d)
+        dp = dot(g, v, ((1,), (1,)))  # (Tq, Tk)
+        pf = p.astype(jnp.float32)
+        delta = jnp.sum(pf * dp, axis=-1, keepdims=True)
+        ds = (pf * (dp - delta)).astype(dot_dtype)
+        # ds is in the natural-log score domain; kr is unscaled, qr carries
+        # scale*log2e — divide the fold back out of dk
+        dq = rope_vjp(dot(ds, kr, ((1,), (0,))) * scale)
+        dk = rope_vjp(dot(ds, qr, ((0,), (0,))) * (1.0 / LOG2_E))
+
+        dqkv_ref[0, :, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + h * d : c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + h * d : 2 * c + (h + 1) * d] = dv.astype(dqkv_ref.dtype)
+
+
+def _qkv_backward(qkv, g, cos, sin, lengths, scale, num_heads):
+    b, t, w = qkv.shape
+    c = w // 3
+    d = c // num_heads
+    kernel = functools.partial(_qkv_bwd_kernel, scale=scale, num_heads=num_heads)
+    spec_c = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 0))
+    spec_k = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 1))
+    spec_v = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 2))
+    spec_tab = pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[spec_c, spec_k, spec_v, spec_c, spec_tab, spec_tab],
+            out_specs=pl.BlockSpec((1, t, w), lambda i, lens: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, w), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=(96 << 20) if t >= 512 else None,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, qkv, qkv, qkv, g, cos, sin)
+
+
+def _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads):
+    """XLA fallback backward for small T (tiny score tiles, where the einsum
+    backward measured faster than the Pallas flash — see _use_pallas_bwd)."""
+    b, t, w = qkv.shape
+    c = w // 3
+    d = c // num_heads
+    qkv5 = qkv.reshape(b, t, 3, num_heads, d)
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+    g4 = g.reshape(b, t, num_heads, d)
+
+    def f(q, k, v):
+        return _xla_reference(q, k, v, cos, sin, lengths, scale)[0]
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g4.astype(jnp.float32))
+    dqkv = jnp.concatenate(
+        [
+            dq.reshape(b, t, c).astype(qkv.dtype),
+            dk.reshape(b, t, c).astype(qkv.dtype),
+            dv.reshape(b, t, c).astype(qkv.dtype),
+        ],
+        axis=-1,
+    )
+    return dqkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _qkv_rope_core(qkv, cos, sin, lengths, scale, num_heads):
+    return _qkv_forward(qkv, cos, sin, lengths, scale, num_heads)
+
+
+def qkv_rope_flash_attention(qkv, cos, sin, lengths, scale, num_heads):
+    """Fused RoPE + masked attention over the RAW qkv projection output.
+
+    qkv: (B, T, 3*C) — the qkv Dense output, untouched (heads interpreted as
+    contiguous [q_h0..q_hH | k_h0.. | v_h0..] blocks of C/num_heads lanes,
+    reference ``fit.py:234``). cos/sin: (B, T, d) fp32 pair-duplicated
+    tables (:func:`split_rope_tables`); lengths: (B,) int32 prefix lengths.
+    Returns (B, T, C) in qkv's dtype, laid out for the out-projection.
+    """
+    return _qkv_rope_core(qkv, cos, sin, lengths, scale, num_heads)
+
+
+def _qkv_fwd(qkv, cos, sin, lengths, scale, num_heads):
+    out = _qkv_forward(qkv, cos, sin, lengths, scale, num_heads)
+    return out, (qkv, cos, sin, lengths)
+
+
+def _qkv_bwd(scale, num_heads, res, g):
+    qkv, cos, sin, lengths = res
+    t = qkv.shape[1]
+    if _use_pallas_bwd(t):
+        dqkv = _qkv_backward(qkv, g, cos, sin, lengths, scale, num_heads)
+    else:
+        dqkv = _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads)
+    return dqkv, None, None, None
+
+
+_qkv_rope_core.defvjp(_qkv_fwd, _qkv_bwd)

@@ -159,3 +159,71 @@ def test_model_fused_backend_matches_xla():
     want = np.asarray(m_x.apply(params, tokens, t, y, pos, mask, train=True))
     got = np.asarray(m_f.apply(params, tokens, t, y, pos, mask, train=True))
     np.testing.assert_allclose(got[:, :40], want[:, :40], atol=3e-5)
+
+
+def _qkv_from_parts(q, k, v):
+    b, t, h, d = q.shape
+    return jnp.concatenate(
+        [q.reshape(b, t, h * d), k.reshape(b, t, h * d), v.reshape(b, t, h * d)],
+        axis=-1,
+    )
+
+
+def test_qkv_natural_matches_split_kernel():
+    """qkv_rope_flash_attention (natural (B,T,3C) layout, VMEM head
+    extraction) == rope_flash_attention on the split tensors."""
+    from fit_tpu.ops.fused_attention import qkv_rope_flash_attention
+
+    q, k, v, fc, lengths = make_inputs()
+    cos, sin = split_rope_tables(fc)
+    want = rope_flash_attention(q, k, v, cos, sin, lengths, D**-0.5)
+    got = qkv_rope_flash_attention(
+        _qkv_from_parts(q, k, v), cos, sin, lengths, D**-0.5, H
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).reshape(B, T, H * D), atol=2e-6
+    )
+
+
+def test_qkv_natural_full_length_branch():
+    """The mask-skip fast path (every row full length) matches the masked
+    branch's math."""
+    from fit_tpu.ops.fused_attention import qkv_rope_flash_attention
+
+    q, k, v, fc, _ = make_inputs()
+    cos, sin = split_rope_tables(fc)
+    full = jnp.asarray([T, T], jnp.int32)
+    got = qkv_rope_flash_attention(_qkv_from_parts(q, k, v), cos, sin, full, D**-0.5, H)
+    want = unfused_reference(q, k, v, fc, full).reshape(B, T, H * D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("bwd_mode", ["always", "never"])
+def test_qkv_natural_gradients(monkeypatch, bwd_mode):
+    """d(qkv) through the natural kernel (Pallas flash bwd AND the XLA
+    fallback) == gradients through the split reference path."""
+    from fit_tpu.ops.fused_attention import qkv_rope_flash_attention
+
+    q, k, v, fc, lengths = make_inputs()
+    cos, sin = split_rope_tables(fc)
+    qkv = _qkv_from_parts(q, k, v)
+    qmask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[..., None]
+
+    def loss_natural(qkv):
+        o = qkv_rope_flash_attention(qkv, cos, sin, lengths, D**-0.5, H)
+        return jnp.sum(jnp.sin(o) * qmask)
+
+    def loss_ref(qkv):
+        b, t, w = qkv.shape
+        q, k, v = (
+            qkv[..., :w // 3].reshape(b, t, H, D),
+            qkv[..., w // 3 : 2 * w // 3].reshape(b, t, H, D),
+            qkv[..., 2 * w // 3 :].reshape(b, t, H, D),
+        )
+        o = unfused_reference(q, k, v, fc, lengths).reshape(b, t, w // 3)
+        return jnp.sum(jnp.sin(o) * qmask)
+
+    monkeypatch.setenv("FIT_TPU_PALLAS_BWD", bwd_mode)
+    g = jax.grad(loss_natural)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5)
