@@ -173,6 +173,11 @@ def main():
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--baseline-steps", type=int, default=25)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument(
+        "--sweep-batch", action="store_true",
+        help="measure ours+baseline at batch 8/16/32 and report the batch "
+        "with the best OUR img/s (ratio stays apples-to-apples per batch)",
+    )
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -202,24 +207,36 @@ def main():
     model = build(args.model, jnp.bfloat16, "auto")
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
-    imgs_per_sec, step_lat = measure(model, params, args.batch, args.steps, size=size)
 
-    vs_baseline = 1.0
-    if not args.skip_baseline:
-        # XLA-naive baseline: the reference recipe transplanted to XLA —
-        # fp32 tensors (reference torch uses TF32-class matmuls, which this
-        # terminal's --xla_allow_excess_precision mirrors), materialized
-        # (B,H,T,T) scores, separate RoPE. Measured at the SAME step count
-        # as a re-measure of ours so the ratio is apples-to-apples.
-        _, our_lat_short = measure(
-            model, params, args.batch, args.baseline_steps, seed=50, size=size
-        )
-        naive = build(args.model, jnp.float32, "xla")
-        naive_params = init_params(naive, head_dim)
-        _, naive_lat_short = measure(
-            naive, naive_params, args.batch, args.baseline_steps, seed=100, size=size
-        )
-        vs_baseline = naive_lat_short / our_lat_short
+    batches = [8, 16, 32] if (args.sweep_batch and on_tpu) else [args.batch]
+    sweep = []
+    naive = naive_params = None
+    for batch in batches:
+        imgs_per_sec, step_lat = measure(model, params, batch, args.steps, size=size)
+        entry = {"batch": batch, "img_s": imgs_per_sec, "step_lat": step_lat}
+        if not args.skip_baseline:
+            # XLA-naive baseline: the reference recipe transplanted to XLA —
+            # fp32 tensors (reference torch uses TF32-class matmuls, which
+            # this terminal's --xla_allow_excess_precision mirrors),
+            # materialized (B,H,T,T) scores, separate RoPE. Measured at the
+            # SAME step count and batch as a re-measure of ours so the ratio
+            # is apples-to-apples.
+            _, our_lat_short = measure(
+                model, params, batch, args.baseline_steps, seed=50, size=size
+            )
+            if naive is None:
+                naive = build(args.model, jnp.float32, "xla")
+                naive_params = init_params(naive, head_dim)
+            _, naive_lat_short = measure(
+                naive, naive_params, batch, args.baseline_steps, seed=100, size=size
+            )
+            entry["vs_baseline"] = naive_lat_short / our_lat_short
+        sweep.append(entry)
+
+    best = max(sweep, key=lambda e: e["img_s"])
+    args.batch = best["batch"]
+    imgs_per_sec, step_lat = best["img_s"], best["step_lat"]
+    vs_baseline = best.get("vs_baseline", 1.0)
 
     out = {
         "metric": f"images/sec/chip {args.model} {size}x{size} {args.steps}-step DDPM cfg",
@@ -235,6 +252,11 @@ def main():
     out["roofline"] = roofline_report(model, params, args.batch, size, step_lat)
     if "mfu" in out["roofline"]:
         out["mfu"] = out["roofline"]["mfu"]
+    if len(sweep) > 1:
+        out["batch_sweep"] = [
+            {k: (round(v, 4) if isinstance(v, float) else v) for k, v in e.items()}
+            for e in sweep
+        ]
     print(json.dumps(out))
 
 
