@@ -43,6 +43,19 @@ def main() -> None:
     assert jax.local_device_count() == 2
     assert jax.device_count() == 2 * nproc
 
+    # The FIRST cross-process collective initializes the Gloo clique under a
+    # hard 30 s key-value deadline; if process start/compile skew exceeds it
+    # (busy CI host) the whole run dies with DEADLINE_EXCEEDED. Align the
+    # processes at the coordination-service barrier (no Gloo involved), then
+    # establish the clique with a tiny warmup collective while in lockstep.
+    from jax._src import distributed
+    from jax.experimental import multihost_utils
+
+    distributed.global_state.client.wait_at_barrier(
+        "fit_tpu_pre_gloo", timeout_in_ms=240_000
+    )
+    multihost_utils.sync_global_devices("fit_tpu_gloo_warmup")
+
     from fit_tpu.train import Trainer
     from fit_tpu.utils.config import TrainConfig
 
