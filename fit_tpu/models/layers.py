@@ -250,13 +250,18 @@ class SelfAttention(nn.Module):
             )
             # The natural kernel's grid is (B,) — one program per batch row —
             # so its DMA pipeline only hides latency once the row count or
-            # per-row work is large. Measured on v5e (ms/attention-sublayer,
-            # bit-identical outputs): T=1024 B=16: 2.72 natural vs 3.38
-            # split; T=256 B=64 (training): natural wins in-step (+14%
-            # img/s); T=256 B=16: 1.05 natural vs 0.89 split. Heuristic:
-            # natural iff b*t >= 16384 (explicit "fused" backend always
-            # takes it, so tests exercise the kernel at small shapes).
-            if self.attn_backend == "fused" or b * n >= 16384:
+            # per-row work is large. Measured on v5e with the batched-heads
+            # short-T branch in both kernels (ms/attention-sublayer, H=16,
+            # d=72, bit-identical outputs):
+            #   b=8  t=256  (b*t 2048):  natural 0.68  split 0.55
+            #   b=16 t=256  (b*t 4096):  natural 0.63  split 0.73
+            #   b=128 t=32  (b*t 4096):  natural 0.64  split 0.72
+            #   b=64 t=128  (b*t 8192):  natural 0.75  split 1.13
+            #   b=128 t=64  (b*t 8192):  natural 0.79  split 1.18
+            #   b=16 t=1024 (b*t 16384): natural 2.72  split 3.38
+            # Heuristic: natural iff b*t >= 4096 (explicit "fused" backend
+            # always takes it, so tests exercise the kernel at small shapes).
+            if self.attn_backend == "fused" or b * n >= 4096:
                 out = qkv_rope_flash_attention(qkv, cos, sin, lengths, d**-0.5, h)
             else:
                 q3 = qkv.reshape(b, n, 3, h, d)

@@ -120,6 +120,31 @@ def _kernel(
     qr_all = (rope_all(q_ref) * (scale * LOG2_E)).astype(dot_dtype)  # (H*T, d)
     kr_all = rope_all(k_ref).astype(dot_dtype)
 
+    # Batched-over-heads dots at short T (same measured win as the natural
+    # kernel, see _qkv_kernel: Mosaic pipelines the head dim of one 3D dot,
+    # hiding the tiny-dot latency). The head-major layout makes this free:
+    # operands are already (hc, t, d). Single straight-line body with a
+    # scalar where-select (pl.when duplication crashes Mosaic layout
+    # inference, see _qkv_kernel).
+    if t <= 256:
+        key_col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+        neg_mask = jnp.where(key_col < length, 0.0, NEG_INF)
+        q3 = qr_all.reshape(hc, t, d)
+        k3 = kr_all.reshape(hc, t, d)
+        v3 = v_ref[0].astype(dot_dtype)
+        s = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(length >= t, s, s + neg_mask)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m).astype(dot_dtype)
+        z = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v3, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[0] = (o / z).astype(o_ref.dtype)
+        return
+
     def heads(masked: bool):
         # (1, T) key mask broadcasts across query rows — materializing the
         # (T, T) form costs 4 MB of VMEM at T=1024 (scoped-vmem OOM)

@@ -230,6 +230,7 @@ class Trainer:
         done = False
 
         host_step = int(state.step)
+        first_run = True
         for epoch in range(self.start_epoch, cfg.epochs):
             start_batch = self.start_batch if epoch == self.start_epoch else 0
             batch_index = start_batch
@@ -241,7 +242,27 @@ class Trainer:
                 rng, step_rng = jax.random.split(rng)
                 if cfg.profile_dir and host_step == 10:
                     jax.profiler.start_trace(cfg.profile_dir)
-                state, metrics = self.train_step(state, dev_batch, step_rng)
+                if first_run and jax.process_count() > 1:
+                    # Multi-process: each compiled executable initializes its
+                    # own Gloo/collectives context at FIRST execution, under
+                    # a hard ~30 s key-value deadline. Compile time varies
+                    # across processes (cache state, host load), so compile
+                    # ahead-of-time, then align every process at the
+                    # coordination-service barrier, THEN execute — the
+                    # context rendezvous happens in lockstep.
+                    compiled = self.train_step.lower(
+                        state, dev_batch, step_rng
+                    ).compile()
+                    from jax._src import distributed
+
+                    if distributed.global_state.client is not None:
+                        distributed.global_state.client.wait_at_barrier(
+                            "fit_tpu_first_step", timeout_in_ms=600_000
+                        )
+                    state, metrics = compiled(state, dev_batch, step_rng)
+                else:
+                    state, metrics = self.train_step(state, dev_batch, step_rng)
+                first_run = False
                 host_step += 1
                 batch_index += 1
                 if cfg.profile_dir and host_step == 20:
