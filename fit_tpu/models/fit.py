@@ -154,9 +154,13 @@ class FiT(nn.Module):
             # fused RoPE+attention kernel: split the interleaved table into
             # pair-duplicated cos/sin ONCE for all blocks (ops.fused_attention)
             t_len = x.shape[1]
+            # t <= 1024 holds a (T, T) score block per head in VMEM;
+            # 1024 < t <= 2304 takes the kernel's K-chunked online-softmax
+            # branch (768^2 extrapolation = T=2304 measured; larger T blows
+            # the full-row VMEM blocks -> blocked ops.attention kernel)
             use_fused = (
                 self.attn_backend in ("auto", "fused")
-                and t_len <= 1024
+                and t_len <= 2304
                 and (jax.default_backend() == "tpu" or self.attn_backend == "fused")
             )
             if use_fused:

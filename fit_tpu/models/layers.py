@@ -261,7 +261,10 @@ class SelfAttention(nn.Module):
             #   b=16 t=1024 (b*t 16384): natural 2.72  split 3.38
             # Heuristic: natural iff b*t >= 4096 (explicit "fused" backend
             # always takes it, so tests exercise the kernel at small shapes).
-            if self.attn_backend == "fused" or b * n >= 4096:
+            # t > 1024 always takes natural: only it has the K-chunked
+            # online-softmax branch (the split kernel would need a (T, T)
+            # score block per head).
+            if self.attn_backend == "fused" or b * n >= 4096 or n > 1024:
                 out = qkv_rope_flash_attention(qkv, cos, sin, lengths, d**-0.5, h)
             else:
                 q3 = qkv.reshape(b, n, 3, h, d)

@@ -697,14 +697,141 @@ def _qkv_kernel(
             heads(True)
 
 
+def _qkv_chunked_kernel(
+    lengths_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, T, C) — full query rows (lane-block view of qkv)
+    k_ref,  # (1, CK, C) — ONE key chunk (grid dim 1 walks the chunks)
+    v_ref,  # (1, CK, C)
+    cos_ref,  # (1, T, d) f32 — full table (q RoPE needs all rows)
+    sin_ref,
+    o_ref,  # (1, T, C) — written on the last chunk
+    qr_s,  # scratch (T, C) model-dtype: roped+scaled q, built on chunk 0
+    m_s,  # scratch (T, num_heads) f32: running row max (exp2 domain)
+    z_s,  # scratch (T, num_heads) f32: running normalizer
+    acc_s,  # scratch (T, C) f32: running PV accumulator
+    *,
+    scale: float,
+    num_heads: int,
+    chunk: int,
+    n_chunks: int,
+):
+    """t > 1024: flash-style online softmax with the KEY-CHUNK LOOP IN THE
+    GRID (extrapolated resolutions, 768^2 -> T=2304+, keep the zero-relayout
+    natural layout with no (T, T) score block). Running (m, z, acc) live in
+    VMEM scratch across grid steps; Pallas pipelines the chunk DMAs. An
+    in-kernel python chunk loop was tried first: 3 chunks x 16 heads unrolls
+    to a program the remote compiler chews >10 min on. All math in the exp2
+    domain (log2e folded into qr's scale): rescale = exp2(m_old - m_new)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    t = q_ref.shape[1]
+    c = q_ref.shape[2]
+    d = c // num_heads
+    length = lengths_ref[b]
+    s_rot = rotation_matrix(d)
+    dot_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        cos = cos_ref[0]
+        sin = sin_ref[0]
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            q = q_ref[0, :, sl].astype(jnp.float32)
+            xr = jax.lax.dot_general(
+                q, s_rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            qr = (q * cos + xr * sin) * (scale * LOG2_E)
+            qr_s[:, sl] = qr.astype(qr_s.dtype)
+        m_s[...] = jnp.full(m_s.shape, NEG_INF, jnp.float32)
+        z_s[...] = jnp.zeros(z_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    ck = k_ref.shape[1]
+    cos_c = cos_ref[0, pl.ds(j * chunk, chunk), :]
+    sin_c = sin_ref[0, pl.ds(j * chunk, chunk), :]
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1) + j * chunk
+    neg = jnp.where(key_col < length, 0.0, NEG_INF)
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        kchunk = k_ref[0, :, sl].astype(jnp.float32)
+        xr = jax.lax.dot_general(
+            kchunk, s_rot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        kr = (kchunk * cos_c + xr * sin_c).astype(dot_dtype)
+        v_c = v_ref[0, :, sl].astype(dot_dtype)
+        qr = qr_s[:, sl]
+        s = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(length >= (j + 1) * chunk, s, s + neg)
+        m_run = m_s[:, h : h + 1]
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new).astype(dot_dtype)
+        alpha = jnp.exp2(m_run - m_new)
+        z_s[:, h : h + 1] = z_s[:, h : h + 1] * alpha + jnp.sum(
+            p.astype(jnp.float32), axis=-1, keepdims=True
+        )
+        acc_s[:, sl] = acc_s[:, sl] * alpha + jax.lax.dot_general(
+            p, v_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_s[:, h : h + 1] = m_new
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            o_ref[0, :, sl] = (acc_s[:, sl] / z_s[:, h : h + 1]).astype(o_ref.dtype)
+
+
 def _qkv_forward(qkv, cos, sin, lengths, scale, num_heads):
     b, t, w = qkv.shape
     c = w // 3
+    d = c // num_heads
+    if t > 1024:
+        # K-chunked online softmax, chunk loop in the grid (see
+        # _qkv_chunked_kernel). Chunk size: the largest divisor of t <= 1024.
+        n_chunks = -(-t // 1024)
+        while t % n_chunks:
+            n_chunks += 1
+        ck = t // n_chunks
+        kernel = functools.partial(
+            _qkv_chunked_kernel, scale=scale, num_heads=num_heads,
+            chunk=ck, n_chunks=n_chunks,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, n_chunks),
+                in_specs=[
+                    pl.BlockSpec((1, t, c), lambda i, j, lens: (i, 0, 0)),
+                    pl.BlockSpec((1, ck, c), lambda i, j, lens: (i, j, 1)),
+                    pl.BlockSpec((1, ck, c), lambda i, j, lens: (i, j, 2)),
+                    pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
+                    pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, t, c), lambda i, j, lens: (i, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((t, c), qkv.dtype),  # roped+scaled q
+                    pltpu.VMEM((t, num_heads), jnp.float32),  # running max
+                    pltpu.VMEM((t, num_heads), jnp.float32),  # running z
+                    pltpu.VMEM((t, c), jnp.float32),  # running PV accum
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=(110 << 20),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(lengths, qkv, qkv, qkv, cos, sin)
+
     kernel = functools.partial(_qkv_kernel, scale=scale, num_heads=num_heads)
     spec_c = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 0))
     spec_k = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 1))
     spec_v = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 2))
-    d = c // num_heads
     spec_tab = pl.BlockSpec((1, t, d), lambda i, lens: (i, 0, 0))
     return pl.pallas_call(
         kernel,

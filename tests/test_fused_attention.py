@@ -227,3 +227,34 @@ def test_qkv_natural_gradients(monkeypatch, bwd_mode):
     g = jax.grad(loss_natural)(qkv)
     g_ref = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5)
+
+
+def test_qkv_natural_chunked_long_t():
+    """t > 1024 takes the K-chunked online-softmax branch; it must match the
+    fp32 oracle on both full-length and padded rows (incl. a fully-masked
+    trailing chunk)."""
+    from fit_tpu.ops.fused_attention import _xla_reference, qkv_rope_flash_attention
+
+    b, t, h, d = 2, 1280, 2, 8  # 2 chunks of 640
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    fc = jnp.asarray(
+        np.broadcast_to(rope_freqs_2d(d, 32, 40), (b, t, d)).copy()
+    )
+    cos, sin = split_rope_tables(fc)
+    # row 1's length (500) leaves chunk 2 fully masked
+    lengths = jnp.asarray([t, 500], jnp.int32)
+    qkv = jnp.concatenate(
+        [q.reshape(b, t, h * d), k.reshape(b, t, h * d), v.reshape(b, t, h * d)],
+        axis=-1,
+    )
+    got = qkv_rope_flash_attention(qkv, cos, sin, lengths, d**-0.5, h)
+    want, _ = _xla_reference(q, k, v, cos, sin, lengths, d**-0.5)
+    valid = (jnp.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(b, t, h, d) * np.asarray(valid)[..., None, None],
+        np.asarray(want) * np.asarray(valid)[..., None, None],
+        atol=3e-5,
+    )
