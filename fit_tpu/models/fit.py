@@ -156,8 +156,9 @@ class FiT(nn.Module):
             t_len = x.shape[1]
             # t <= 1024 holds a (T, T) score block per head in VMEM;
             # 1024 < t <= 2304 takes the kernel's K-chunked online-softmax
-            # branch (768^2 extrapolation = T=2304 measured; larger T blows
-            # the full-row VMEM blocks -> blocked ops.attention kernel)
+            # grid (768^2 -> T=2304 measured/verified; T=4096 was tried and
+            # fails to compile — VMEM — so larger T falls back to the
+            # blocked ops.attention kernel)
             use_fused = (
                 self.attn_backend in ("auto", "fused")
                 and t_len <= 2304
