@@ -40,6 +40,11 @@ from fit_tpu.models.layers import (
 
 Array = jnp.ndarray
 
+# Largest T routed to the fused natural-layout kernel family; larger T
+# falls back to the blocked ops.attention kernel. (Raised when the chunked
+# grid is verified at the new size on hardware — r2 ceiling was 2304.)
+_FUSED_MAX_T = 2304
+
 __all__ = [
     "FiT",
     "FiT_models",
@@ -155,18 +160,20 @@ class FiT(nn.Module):
             # pair-duplicated cos/sin ONCE for all blocks (ops.fused_attention)
             t_len = x.shape[1]
             # t <= 1024 holds a (T, T) score block per head in VMEM;
-            # 1024 < t <= 2304 takes the kernel's K-chunked online-softmax
-            # grid (768^2 -> T=2304 measured/verified; T=4096 was tried and
-            # fails to compile — VMEM — so larger T falls back to the
-            # blocked ops.attention kernel)
+            # longer T takes the kernel's chunked online-softmax grid
+            # (K-chunked to T=2304 / 768^2, K+Q-chunked beyond — 1024^2 ->
+            # T=4096). fused_supported() rejects divisor-free T (a prime T
+            # would degenerate to 1-row chunks) — those fall back to the
+            # blocked ops.attention kernel.
+            from fit_tpu.ops.fused_attention import fused_supported, split_rope_tables
+
             use_fused = (
                 self.attn_backend in ("auto", "fused")
-                and t_len <= 2304
+                and t_len <= _FUSED_MAX_T
+                and fused_supported(t_len)
                 and (jax.default_backend() == "tpu" or self.attn_backend == "fused")
             )
             if use_fused:
-                from fit_tpu.ops.fused_attention import split_rope_tables
-
                 freqs_cis = split_rope_tables(pos)
 
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(t)

@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 Array = jnp.ndarray
 
@@ -48,10 +50,69 @@ __all__ = [
     "qkv_rope_flash_attention",
     "split_rope_tables",
     "rotation_matrix",
+    "fused_supported",
 ]
 
 NEG_INF = float("-inf")
 LOG2_E = 1.4426950408889634  # log2(e): softmax via exp2 (VPU-native)
+
+
+def _shard_over_batch(fn, static_argnums, rule):
+    """GSPMD partitioning contract for a batch-parallel Pallas kernel.
+
+    ``pallas_call`` lowers to an opaque custom call the SPMD partitioner has
+    no rule for, so under a sharded ``jit`` it REPLICATES the op: measured on
+    the 8-device mesh, every operand gets a full-batch all-gather and the
+    kernel output comes back fully replicated — a silent ~dp x throughput
+    loss exactly where multi-chip perf matters (VERDICT r2: the reference's
+    DDP capability analogue, ``/root/reference/FiT/train.py:283``).
+
+    Every kernel in this family is embarrassingly parallel over the leading
+    batch axis (the grid's first dim; rows never interact), so the correct
+    contract is: split ALL operands and results on dim 0 across whatever
+    mesh axes shard the caller's batch, and run the kernel per-shard with
+    ZERO collectives. ``rule`` is the Shardy einsum-like sharding rule
+    (same factor letters = same propagation group); ``infer``/``partition``
+    serve the GSPMD path. Unsharded (single-device) calls lower straight
+    through. Static args must be TRAILING in ``fn``'s signature.
+    """
+    cp = custom_partitioning(fn, static_argnums=static_argnums)
+
+    def _batch_axes(arg_infos):
+        for a in arg_infos:
+            sh = getattr(a, "sharding", None)
+            spec = getattr(sh, "spec", None)
+            if spec is not None and len(spec) and spec[0] is not None:
+                return spec[0]
+        return None
+
+    def _mk(mesh, ax, nd):
+        return NamedSharding(mesh, PartitionSpec(ax, *([None] * (nd - 1))))
+
+    def _outs(mesh, ax, result_infos):
+        if isinstance(result_infos, (list, tuple)):
+            return tuple(_mk(mesh, ax, r.ndim) for r in result_infos)
+        return _mk(mesh, ax, result_infos.ndim)
+
+    def infer(*cb_args):
+        *_, mesh, arg_infos, result_infos = cb_args
+        return _outs(mesh, _batch_axes(arg_infos), result_infos)
+
+    def partition(*cb_args):
+        *statics, mesh, arg_infos, result_infos = cb_args
+        ax = _batch_axes(arg_infos)
+        arg_sh = tuple(_mk(mesh, ax, a.ndim) for a in arg_infos)
+        out_sh = _outs(mesh, ax, result_infos)
+
+        def lower(*ops):
+            return fn(*ops, *statics)
+
+        return mesh, lower, out_sh, arg_sh
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition, sharding_rule=rule
+    )
+    return cp
 
 
 def rotation_matrix(d: int, dtype=jnp.float32) -> Array:
@@ -456,6 +517,19 @@ def _xla_reference(q, k, v, cos, sin, lengths, scale):
     return out, (qr, kr, p)
 
 
+# GSPMD batch-partitioning contracts (see _shard_over_batch). The "direct"
+# env-gated experiment kernel stays unwrapped — it never runs in production.
+_forward_p = _shard_over_batch(
+    _forward, (6,),
+    "b h t d, b h t d, b h t d, b t d, b t d, b -> b h t d",
+)
+_backward_p = _shard_over_batch(
+    _backward, (7,),
+    "b h t d, b h t d, b h t d, b h t d, b t d, b t d, b"
+    " -> b h t d, b h t d, b h t d",
+)
+
+
 def _forward_bthd(q, k, v, cos, sin, lengths, scale):
     import os
 
@@ -469,7 +543,7 @@ def _forward_bthd(q, k, v, cos, sin, lengths, scale):
         out = _forward_direct(q, k, v, cos, sin, lengths, scale)
         return out.transpose(0, 2, 1, 3)
     qh, kh, vh = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
-    out = _forward(qh, kh, vh, cos, sin, lengths, scale)
+    out = _forward_p(qh, kh, vh, cos, sin, lengths, scale)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -533,7 +607,7 @@ def _bwd(scale, res, g):
     t = q.shape[1]
     if _use_pallas_bwd(t):
         qh, kh, vh, gh = (a.transpose(0, 2, 1, 3) for a in (q, k, v, g))
-        dq, dk, dv = _backward(qh, kh, vh, gh, cos, sin, lengths, scale)
+        dq, dk, dv = _backward_p(qh, kh, vh, gh, cos, sin, lengths, scale)
         return (
             dq.transpose(0, 2, 1, 3),
             dk.transpose(0, 2, 1, 3),
@@ -697,34 +771,88 @@ def _qkv_kernel(
             heads(True)
 
 
+def _chunk_threshold() -> int:
+    """T above which the natural kernel takes the chunked online-softmax
+    grid (no (T, T) score block). 1024 on hardware; tests lower it via
+    $FIT_TPU_CHUNK_T to exercise the chunked fwd+bwd at small shapes."""
+    import os
+
+    return int(os.environ.get("FIT_TPU_CHUNK_T", "1024"))
+
+
+def _q_chunk_threshold() -> int:
+    """T above which the QUERY side is chunked too (3D grid). 2304 on
+    hardware — the largest T where full-T query scratch was measured to fit
+    VMEM (round 2); beyond it (1024x1024 -> T=4096) q-chunking is required
+    to compile at all. Tests lower it via $FIT_TPU_QCHUNK_T."""
+    import os
+
+    return int(os.environ.get("FIT_TPU_QCHUNK_T", "2304"))
+
+
+def _pick_chunk(t: int, target: int = 1024, min_ck: Optional[int] = None) -> Optional[int]:
+    """Largest divisor of ``t`` that is <= ``target``, or None when every
+    such divisor is < ``min_ck``. The floor guards the degenerate grids a
+    divisor-free T would produce (a prime T in the chunked range yields
+    1-row chunks and a (b, T) sequential grid — advisor finding r2); callers
+    gate on :func:`fused_supported` and fall back to the blocked kernel."""
+    if min_ck is None:
+        min_ck = min(128, target)
+    for n in range(-(-t // target), t // min_ck + 1):
+        if t % n == 0:
+            return t // n
+    return None
+
+
+def fused_supported(t: int) -> bool:
+    """Can the natural fused kernel family handle sequence length ``t``?
+    (Gate used by ``FiT.__call__`` before routing to the fused path.)"""
+    if t <= _chunk_threshold():
+        return True
+    if _pick_chunk(t, min(1024, _chunk_threshold())) is None:
+        return False
+    if t > _q_chunk_threshold() and _pick_chunk(t, min(1024, _q_chunk_threshold())) is None:
+        return False
+    return True
+
+
 def _qkv_chunked_kernel(
     lengths_ref,  # (B,) int32 scalar prefetch
-    q_ref,  # (1, T, C) — full query rows (lane-block view of qkv)
-    k_ref,  # (1, CK, C) — ONE key chunk (grid dim 1 walks the chunks)
+    q_ref,  # (1, CQ, C) — one query chunk (lane-block view of qkv)
+    k_ref,  # (1, CK, C) — ONE key chunk (grid dim 2 walks the chunks)
     v_ref,  # (1, CK, C)
-    cos_ref,  # (1, T, d) f32 — full table (q RoPE needs all rows)
-    sin_ref,
-    o_ref,  # (1, T, C) — written on the last chunk
-    qr_s,  # scratch (T, C) model-dtype: roped+scaled q, built on chunk 0
-    m_s,  # scratch (T, num_heads) f32: running row max (exp2 domain)
-    z_s,  # scratch (T, num_heads) f32: running normalizer
-    acc_s,  # scratch (T, C) f32: running PV accumulator
-    *,
+    cos_q_ref,  # (1, CQ, d) f32 — q-chunk rows of the RoPE table
+    sin_q_ref,
+    cos_k_ref,  # (1, CK, d) f32 — k-chunk rows
+    sin_k_ref,
+    o_ref,  # (1, CQ, C) — written on the last key chunk
+    *rest,  # [lse_ref (1, CQ, H) f32,] qr_s, m_s, z_s, acc_s scratch
     scale: float,
     num_heads: int,
     chunk: int,
     n_chunks: int,
+    with_lse: bool,
 ):
-    """t > 1024: flash-style online softmax with the KEY-CHUNK LOOP IN THE
-    GRID (extrapolated resolutions, 768^2 -> T=2304+, keep the zero-relayout
-    natural layout with no (T, T) score block). Running (m, z, acc) live in
-    VMEM scratch across grid steps; Pallas pipelines the chunk DMAs. An
-    in-kernel python chunk loop was tried first: 3 chunks x 16 heads unrolls
-    to a program the remote compiler chews >10 min on. All math in the exp2
-    domain (log2e folded into qr's scale): rescale = exp2(m_old - m_new)."""
+    """t > 1024: flash-style online softmax with the CHUNK LOOPS IN THE
+    GRID (extrapolated resolutions, 768^2 -> T=2304, 1024^2 -> T=4096; keep
+    the zero-relayout natural layout with no (T, T) score block). Grid is
+    (B, n_q_chunks, n_k_chunks), key chunks innermost; running (m, z, acc)
+    live in VMEM scratch across key-chunk steps and reset at kj == 0; Pallas
+    pipelines the chunk DMAs. An in-kernel python chunk loop was tried
+    first: 3 chunks x 16 heads unrolls to a program the remote compiler
+    chews >10 min on. All math in the exp2 domain (log2e folded into qr's
+    scale): rescale = exp2(m_old - m_new).
+
+    ``with_lse`` additionally emits the per-row log2-sum-exp
+    ``lse2 = m + log2(z)`` (softmax_ij = exp2(s_ij - lse2_i)) — the residual
+    the chunked backward needs to recompute probabilities without a second
+    online-softmax pass."""
+    if with_lse:
+        lse_ref, qr_s, m_s, z_s, acc_s = rest
+    else:
+        qr_s, m_s, z_s, acc_s = rest
     b = pl.program_id(0)
-    j = pl.program_id(1)
-    t = q_ref.shape[1]
+    j = pl.program_id(2)
     c = q_ref.shape[2]
     d = c // num_heads
     length = lengths_ref[b]
@@ -733,8 +861,8 @@ def _qkv_chunked_kernel(
 
     @pl.when(j == 0)
     def _():
-        cos = cos_ref[0]
-        sin = sin_ref[0]
+        cos = cos_q_ref[0]
+        sin = sin_q_ref[0]
         for h in range(num_heads):
             sl = slice(h * d, (h + 1) * d)
             q = q_ref[0, :, sl].astype(jnp.float32)
@@ -748,8 +876,8 @@ def _qkv_chunked_kernel(
         acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
 
     ck = k_ref.shape[1]
-    cos_c = cos_ref[0, pl.ds(j * chunk, chunk), :]
-    sin_c = sin_ref[0, pl.ds(j * chunk, chunk), :]
+    cos_c = cos_k_ref[0]
+    sin_c = sin_k_ref[0]
     key_col = jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1) + j * chunk
     neg = jnp.where(key_col < length, 0.0, NEG_INF)
     for h in range(num_heads):
@@ -783,50 +911,79 @@ def _qkv_chunked_kernel(
         for h in range(num_heads):
             sl = slice(h * d, (h + 1) * d)
             o_ref[0, :, sl] = (acc_s[:, sl] / z_s[:, h : h + 1]).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0] = m_s[...] + jnp.log2(z_s[...])
+
+
+def _qkv_forward_chunked(qkv, cos, sin, lengths, scale, num_heads, with_lse):
+    """Chunked online-softmax forward (t > threshold). Returns ``out`` or
+    ``(out, lse2)`` where lse2 is (B, T, H) f32 in the exp2 domain."""
+    b, t, w = qkv.shape
+    c = w // 3
+    d = c // num_heads
+    ck = _pick_chunk(t, min(1024, _chunk_threshold()))
+    if ck is None:
+        raise ValueError(
+            f"T={t} has no key-chunk divisor; gate with fused_supported()"
+        )
+    n_chunks = t // ck
+    cq = t if t <= _q_chunk_threshold() else _pick_chunk(t, min(1024, _q_chunk_threshold()))
+    if cq is None:
+        raise ValueError(
+            f"T={t} has no query-chunk divisor; gate with fused_supported()"
+        )
+    n_q = t // cq
+    kernel = functools.partial(
+        _qkv_chunked_kernel, scale=scale, num_heads=num_heads,
+        chunk=ck, n_chunks=n_chunks, with_lse=with_lse,
+    )
+    out_specs = [pl.BlockSpec((1, cq, c), lambda i, qi, kj, lens: (i, qi, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((b, t, c), qkv.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, cq, num_heads), lambda i, qi, kj, lens: (i, qi, 0))
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b, t, num_heads), jnp.float32))
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_q, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, cq, c), lambda i, qi, kj, lens: (i, qi, 0)),
+                pl.BlockSpec((1, ck, c), lambda i, qi, kj, lens: (i, kj, 1)),
+                pl.BlockSpec((1, ck, c), lambda i, qi, kj, lens: (i, kj, 2)),
+                pl.BlockSpec((1, cq, d), lambda i, qi, kj, lens: (i, qi, 0)),
+                pl.BlockSpec((1, cq, d), lambda i, qi, kj, lens: (i, qi, 0)),
+                pl.BlockSpec((1, ck, d), lambda i, qi, kj, lens: (i, kj, 0)),
+                pl.BlockSpec((1, ck, d), lambda i, qi, kj, lens: (i, kj, 0)),
+            ],
+            out_specs=tuple(out_specs) if with_lse else out_specs[0],
+            scratch_shapes=[
+                pltpu.VMEM((cq, c), qkv.dtype),  # roped+scaled q
+                pltpu.VMEM((cq, num_heads), jnp.float32),  # running max
+                pltpu.VMEM((cq, num_heads), jnp.float32),  # running z
+                pltpu.VMEM((cq, c), jnp.float32),  # running PV accum
+            ],
+        ),
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=(110 << 20),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, qkv, qkv, qkv, cos, sin, cos, sin)
+    return res
 
 
 def _qkv_forward(qkv, cos, sin, lengths, scale, num_heads):
     b, t, w = qkv.shape
     c = w // 3
     d = c // num_heads
-    if t > 1024:
-        # K-chunked online softmax, chunk loop in the grid (see
-        # _qkv_chunked_kernel). Chunk size: the largest divisor of t <= 1024.
-        n_chunks = -(-t // 1024)
-        while t % n_chunks:
-            n_chunks += 1
-        ck = t // n_chunks
-        kernel = functools.partial(
-            _qkv_chunked_kernel, scale=scale, num_heads=num_heads,
-            chunk=ck, n_chunks=n_chunks,
+    if t > _chunk_threshold():
+        return _qkv_forward_chunked(
+            qkv, cos, sin, lengths, scale, num_heads, with_lse=False
         )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(b, n_chunks),
-                in_specs=[
-                    pl.BlockSpec((1, t, c), lambda i, j, lens: (i, 0, 0)),
-                    pl.BlockSpec((1, ck, c), lambda i, j, lens: (i, j, 1)),
-                    pl.BlockSpec((1, ck, c), lambda i, j, lens: (i, j, 2)),
-                    pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
-                    pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, t, c), lambda i, j, lens: (i, 0, 0)),
-                scratch_shapes=[
-                    pltpu.VMEM((t, c), qkv.dtype),  # roped+scaled q
-                    pltpu.VMEM((t, num_heads), jnp.float32),  # running max
-                    pltpu.VMEM((t, num_heads), jnp.float32),  # running z
-                    pltpu.VMEM((t, c), jnp.float32),  # running PV accum
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-                vmem_limit_bytes=(110 << 20),
-            ),
-            interpret=jax.default_backend() != "tpu",
-        )(lengths, qkv, qkv, qkv, cos, sin)
 
     kernel = functools.partial(_qkv_kernel, scale=scale, num_heads=num_heads)
     spec_c = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 0))
@@ -951,6 +1108,169 @@ def _qkv_backward(qkv, g, cos, sin, lengths, scale, num_heads):
     )(lengths, qkv, qkv, qkv, g, cos, sin)
 
 
+def _qkv_chunked_bwd_kernel(
+    lengths_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, T, C) — full query rows (lane-block view of qkv)
+    k_ref,  # (1, CK, C) — ONE key chunk (grid dim 1 walks the chunks)
+    v_ref,  # (1, CK, C)
+    g_ref,  # (1, T, C) — full upstream gradient rows
+    o_ref,  # (1, T, C) — full forward OUTPUT rows (for delta = sum(g*o))
+    lse_ref,  # (1, T, H) f32 — forward log2-sum-exp (exp2 domain)
+    cos_q_ref,  # (1, T, d) f32
+    sin_q_ref,
+    cos_k_ref,  # (1, CK, d) f32 — k-chunk rows
+    sin_k_ref,
+    dq_ref,  # (1, T, C) — written on the last chunk from the accumulator
+    dkv_ref,  # (1, CK, 2C) — [dk | dv] lanes, streamed out per chunk
+    qr_s,  # scratch (T, C) model-dtype: roped+scaled q, built on chunk 0
+    delta_s,  # scratch (T, H) f32: per-row per-head sum(g * o)
+    dq_acc,  # scratch (T, C) f32: rotated-domain dq accumulator
+    *,
+    scale: float,
+    num_heads: int,
+    chunk: int,
+    n_chunks: int,
+):
+    """K-chunked flash backward for t > 1024 (768^2-budget TRAINING — the
+    r2 gap where the XLA fallback materialized (B, H, T, T) fp32 scores).
+
+    Probabilities are recomputed per key chunk from the forward's saved
+    log2-sum-exp: ``p = exp2(s - lse2)`` is the FINAL softmax weight, so no
+    second online pass is needed. Per chunk, per head:
+
+        dv_chunk = p^T g            -> streamed to the dkv output block
+        dp       = g v^T
+        ds       = p * (dp - delta),  delta_i = sum_d g_id o_id  (== p.dp)
+        dq      += ds kr * scale      (accumulated across chunks in VMEM)
+        dk_chunk = rope_vjp(ds^T qr / log2e)  -> streamed out
+
+    dq leaves in the rotated domain and gets the RoPE VJP on the last
+    chunk. Scale folding matches :func:`_qkv_bwd_kernel`: qr carries
+    scale*log2e, kr is unscaled."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    c = q_ref.shape[2]
+    d = c // num_heads
+    length = lengths_ref[b]
+    s_rot = rotation_matrix(d)
+    dot_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    def dot(a, bb, dims):
+        return jax.lax.dot_general(a, bb, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+    def rope_vjp(gx, cos, sin):
+        # S is antisymmetric: gx*sin @ S^T == -(gx*sin @ S)
+        return gx * cos - dot(gx * sin, s_rot, ((1,), (0,)))
+
+    @pl.when(j == 0)
+    def _():
+        cos = cos_q_ref[0]
+        sin = sin_q_ref[0]
+        go = g_ref[0].astype(jnp.float32) * o_ref[0].astype(jnp.float32)
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            q = q_ref[0, :, sl].astype(jnp.float32)
+            xr = dot(q, s_rot, ((1,), (0,)))
+            qr = (q * cos + xr * sin) * (scale * LOG2_E)
+            qr_s[:, sl] = qr.astype(qr_s.dtype)
+            delta_s[:, h : h + 1] = jnp.sum(go[:, sl], axis=-1, keepdims=True)
+        dq_acc[...] = jnp.zeros(dq_acc.shape, jnp.float32)
+
+    ck = k_ref.shape[1]
+    cos_c = cos_k_ref[0]
+    sin_c = sin_k_ref[0]
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1) + j * chunk
+    neg = jnp.where(key_col < length, 0.0, NEG_INF)
+    lse = lse_ref[0]  # (T, H) f32
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        kchunk = k_ref[0, :, sl].astype(jnp.float32)
+        xr = dot(kchunk, s_rot, ((1,), (0,)))
+        kr = (kchunk * cos_c + xr * sin_c).astype(dot_dtype)
+        v_c = v_ref[0, :, sl].astype(dot_dtype)
+        g_h = g_ref[0, :, sl].astype(dot_dtype)
+        qr = qr_s[:, sl]
+        s = dot(qr, kr, ((1,), (1,)))  # (T, CK) f32
+        s = jnp.where(length >= (j + 1) * chunk, s, s + neg)
+        p = jnp.exp2(s - lse[:, h : h + 1])  # final softmax weights
+        pc = p.astype(dot_dtype)
+        dv = dot(pc, g_h, ((0,), (0,)))  # p^T g: (CK, d)
+        dp = dot(g_h, v_c, ((1,), (1,)))  # (T, CK)
+        ds = (p * (dp - delta_s[:, h : h + 1])).astype(dot_dtype)
+        dq_acc[:, sl] = dq_acc[:, sl] + dot(ds, kr, ((1,), (0,))) * scale
+        dk = rope_vjp(dot(ds, qr, ((0,), (0,))) * (1.0 / LOG2_E), cos_c, sin_c)
+        dkv_ref[0, :, sl] = dk.astype(dkv_ref.dtype)
+        dkv_ref[0, :, c + h * d : c + (h + 1) * d] = dv.astype(dkv_ref.dtype)
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        cos = cos_q_ref[0]
+        sin = sin_q_ref[0]
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            dq_ref[0, :, sl] = rope_vjp(dq_acc[:, sl], cos, sin).astype(dq_ref.dtype)
+
+
+def _qkv_backward_chunked(qkv, g, out, lse, cos, sin, lengths, scale, num_heads):
+    """dqkv for the chunked (t > 1024) path. Streams dk/dv per key chunk;
+    dq accumulates in VMEM scratch (queries stay un-chunked: full-T query
+    scratch is what the forward already proved fits to T=2304)."""
+    b, t, w = qkv.shape
+    c = w // 3
+    d = c // num_heads
+    # smaller chunks than the forward (768 target): the backward holds ~3x
+    # the full-T blocks (q, g, o, dq, accumulators), so trade pipeline
+    # granularity for VMEM headroom
+    ck = _pick_chunk(t, min(768, _chunk_threshold()))
+    if ck is None:
+        ck = _pick_chunk(t, min(1024, _chunk_threshold()))
+    n_chunks = t // ck
+    kernel = functools.partial(
+        _qkv_chunked_bwd_kernel, scale=scale, num_heads=num_heads,
+        chunk=ck, n_chunks=n_chunks,
+    )
+    full_c = pl.BlockSpec((1, t, c), lambda i, j, lens: (i, 0, 0))
+    full_d = pl.BlockSpec((1, t, d), lambda i, j, lens: (i, 0, 0))
+    dq, dkv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_chunks),
+            in_specs=[
+                full_c,  # q view
+                pl.BlockSpec((1, ck, c), lambda i, j, lens: (i, j, 1)),  # k
+                pl.BlockSpec((1, ck, c), lambda i, j, lens: (i, j, 2)),  # v
+                full_c,  # g
+                full_c,  # forward out
+                pl.BlockSpec((1, t, num_heads), lambda i, j, lens: (i, 0, 0)),
+                full_d,  # cos (q rows)
+                full_d,  # sin
+                pl.BlockSpec((1, ck, d), lambda i, j, lens: (i, j, 0)),  # cos (k rows)
+                pl.BlockSpec((1, ck, d), lambda i, j, lens: (i, j, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, t, c), lambda i, j, lens: (i, 0, 0)),
+                pl.BlockSpec((1, ck, 2 * c), lambda i, j, lens: (i, j, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((t, c), qkv.dtype),  # roped+scaled q
+                pltpu.VMEM((t, num_heads), jnp.float32),  # delta
+                pltpu.VMEM((t, c), jnp.float32),  # dq accumulator
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, t, 2 * c), qkv.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(120 << 20),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths, qkv, qkv, qkv, g, out, lse, cos, sin, cos, sin)
+    return jnp.concatenate([dq, dkv], axis=-1)
+
+
 def _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads):
     """XLA fallback backward for small T (tiny score tiles, where the einsum
     backward measured faster than the Pallas flash — see _use_pallas_bwd)."""
@@ -977,9 +1297,26 @@ def _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads):
     return dqkv
 
 
+# GSPMD batch-partitioning contracts for the natural-layout family
+# (see _shard_over_batch)
+_qkv_forward_p = _shard_over_batch(
+    _qkv_forward, (4, 5), "b t p, b t d, b t d, b -> b t q"
+)
+_qkv_forward_lse_p = _shard_over_batch(
+    _qkv_forward_chunked, (4, 5, 6), "b t p, b t d, b t d, b -> b t q, b t h"
+)
+_qkv_backward_p = _shard_over_batch(
+    _qkv_backward, (5, 6), "b t p, b t q, b t d, b t d, b -> b t p"
+)
+_qkv_backward_chunked_p = _shard_over_batch(
+    _qkv_backward_chunked, (7, 8),
+    "b t p, b t q, b t q, b t h, b t d, b t d, b -> b t p",
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _qkv_rope_core(qkv, cos, sin, lengths, scale, num_heads):
-    return _qkv_forward(qkv, cos, sin, lengths, scale, num_heads)
+    return _qkv_forward_p(qkv, cos, sin, lengths, scale, num_heads)
 
 
 def qkv_rope_flash_attention(qkv, cos, sin, lengths, scale, num_heads):
@@ -995,15 +1332,33 @@ def qkv_rope_flash_attention(qkv, cos, sin, lengths, scale, num_heads):
 
 
 def _qkv_fwd(qkv, cos, sin, lengths, scale, num_heads):
-    out = _qkv_forward(qkv, cos, sin, lengths, scale, num_heads)
+    t = qkv.shape[1]
+    if t > _chunk_threshold():
+        # chunked regime: save the forward output (free — it IS the primal
+        # result) + the per-row log2-sum-exp so the backward recomputes
+        # probabilities chunk-by-chunk with no second online pass
+        out, lse = _qkv_forward_lse_p(qkv, cos, sin, lengths, scale, num_heads, True)
+        return out, (qkv, cos, sin, lengths, out, lse)
+    out = _qkv_forward_p(qkv, cos, sin, lengths, scale, num_heads)
     return out, (qkv, cos, sin, lengths)
 
 
 def _qkv_bwd(scale, num_heads, res, g):
+    import os
+
+    if len(res) == 6:  # chunked regime (t > threshold), lse saved
+        qkv, cos, sin, lengths, out, lse = res
+        if os.environ.get("FIT_TPU_PALLAS_BWD", "auto") == "never":
+            dqkv = _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads)
+        else:
+            dqkv = _qkv_backward_chunked_p(
+                qkv, g, out, lse, cos, sin, lengths, scale, num_heads
+            )
+        return dqkv, None, None, None
     qkv, cos, sin, lengths = res
     t = qkv.shape[1]
     if _use_pallas_bwd(t):
-        dqkv = _qkv_backward(qkv, g, cos, sin, lengths, scale, num_heads)
+        dqkv = _qkv_backward_p(qkv, g, cos, sin, lengths, scale, num_heads)
     else:
         dqkv = _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads)
     return dqkv, None, None, None

@@ -258,3 +258,63 @@ def test_qkv_natural_chunked_long_t():
         np.asarray(want) * np.asarray(valid)[..., None, None],
         atol=3e-5,
     )
+
+
+def _chunked_grad_case(b, t, h, d, lengths):
+    """grads through qkv_rope_flash_attention vs the fp32 XLA oracle, on
+    query rows inside ``lengths`` (padded rows carry garbage by key-only
+    masking semantics, same as the forward)."""
+    from fit_tpu.ops.fused_attention import _xla_reference, qkv_rope_flash_attention
+
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(b, t, 3 * h * d)).astype(np.float32))
+    fc = jnp.asarray(np.broadcast_to(rope_freqs_2d(d, 64, 64)[:t], (b, t, d)).copy())
+    cos, sin = split_rope_tables(fc)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    qmask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)[..., None]
+
+    def loss_natural(x):
+        o = qkv_rope_flash_attention(x, cos, sin, lengths, d**-0.5, h)
+        return jnp.sum(jnp.sin(o) * qmask)
+
+    def loss_ref(x):
+        q5 = x.reshape(b, t, 3, h, d)
+        o, _ = _xla_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2], cos, sin, lengths, d**-0.5)
+        return jnp.sum(jnp.sin(o.reshape(b, t, h * d)) * qmask)
+
+    g = jax.grad(loss_natural)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5)
+
+
+def test_qkv_chunked_gradients_long_t():
+    """t > 1024 now takes the K-chunked Pallas BACKWARD (VERDICT r2 item 1:
+    the 768^2-budget training gap — previously the XLA fallback materialized
+    (B, H, T, T) fp32 scores). Gradient equivalence vs the fp32 oracle at
+    t=1280 (2 key chunks of 640), incl. a row whose length leaves the last
+    chunk fully masked."""
+    _chunked_grad_case(2, 1280, 2, 8, lengths=(1280, 500))
+
+
+def test_qkv_q_chunked_forward_and_gradients(monkeypatch):
+    """Lowered thresholds force the 3D (b, q-chunk, k-chunk) grid — the
+    T=4096 (1024x1024 extrapolation) configuration — at test-size shapes:
+    t=256 with cq=128 (2 q chunks) and ck=64 (4 k chunks)."""
+    monkeypatch.setenv("FIT_TPU_CHUNK_T", "64")
+    monkeypatch.setenv("FIT_TPU_QCHUNK_T", "128")
+    _chunked_grad_case(2, 256, 2, 8, lengths=(256, 200))
+
+
+def test_chunk_picker_and_degenerate_t_gate():
+    """_pick_chunk bounds the chunk floor (a prime T in the chunked range
+    would degenerate to 1-row chunks — advisor finding r2); fused_supported
+    reports such T as unsupported so FiT routes them to the blocked kernel."""
+    from fit_tpu.ops.fused_attention import _pick_chunk, fused_supported
+
+    assert _pick_chunk(2304) == 768
+    assert _pick_chunk(4096) == 1024
+    assert _pick_chunk(1280) == 640
+    assert _pick_chunk(1283) is None  # prime
+    assert _pick_chunk(2 * 1069) is None  # 2138: best divisor 2 < floor 128
+    assert fused_supported(1024) and fused_supported(2304) and fused_supported(4096)
+    assert not fused_supported(1283) and not fused_supported(2138)
