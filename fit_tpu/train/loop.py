@@ -30,6 +30,15 @@ from fit_tpu.utils.logging import MetricLogger
 __all__ = ["Trainer"]
 
 
+def _local_np(x) -> np.ndarray:
+    """This process's rows of a (possibly multi-host sharded) 1-D jax.Array
+    (np.asarray on a non-fully-addressable array raises)."""
+    shards = [s for s in x.addressable_shards if s.replica_id == 0]
+    if not shards:
+        return np.asarray(x)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 class Trainer:
     def __init__(self, config: TrainConfig):
         self.cfg = config
@@ -86,6 +95,18 @@ class Trainer:
                 seed=cfg.global_seed, shard_id=self.host_id, num_shards=n_hosts,
             )
 
+        # timestep importance sampler (host-side state; see timestep_samplers)
+        from fit_tpu.diffusion.timestep_samplers import create_named_schedule_sampler
+
+        self.t_sampler = create_named_schedule_sampler(
+            cfg.timestep_sampler, self.diffusion.original_num_steps
+        )
+        self._use_t_sampler = cfg.timestep_sampler != "uniform"
+        # per-host stream: hosts draw their LOCAL batch shard's timesteps
+        self._t_rng = np.random.default_rng(
+            cfg.global_seed * 9973 + 17 + self.host_id
+        )
+
         self.train_step = make_train_step(
             self.model.apply, self.diffusion, self.tx,
             ema_decay=cfg.ema_decay, grad_accum=cfg.grad_accum,
@@ -114,6 +135,44 @@ class Trainer:
         self.start_batch = 0  # mid-epoch resume position (loader batches consumed)
         self._rng = None  # host PRNG state restored from a checkpoint
         self.state = None
+        # multi-process: shape-keyed AOT executables (see _run_aligned)
+        self._compiled_train: dict = {}
+        self._compiled_eval: dict = {}
+
+    def _run_aligned(self, fn, cache: dict, tag: str, *args):
+        """Execute ``fn(*args)`` via a shape-keyed AOT-compiled executable,
+        aligning processes at a barrier before each new executable's first run.
+
+        Multi-process only. Every compiled executable initializes its own
+        Gloo/collectives context at FIRST execution, under a hard ~30 s
+        key-value-store deadline, and jit's lazy compilation happens at
+        different times on different processes (cache state, host load): so
+        for each NEW batch shape we lower + compile ahead-of-time, align all
+        processes at a named coordination-service barrier, then execute — the
+        context rendezvous happens in lockstep. ``.lower().compile()`` does
+        NOT populate the jit dispatch cache, so later steps must reuse the
+        executable from ``cache`` (advisor r2: the original fix covered only
+        the literal first step, leaving step 2's lazy jit compile and every
+        mid-training bucket shape exposed to the same DEADLINE_EXCEEDED race).
+
+        Relies on all processes seeing the same batch-shape SEQUENCE — which
+        global-batch assembly already requires (the bucket order is drawn
+        from the shared ``global_seed``, identical on every host).
+        """
+        batch = args[1]
+        key = tuple((k, tuple(v.shape), str(v.dtype)) for k, v in sorted(batch.items()))
+        exe = cache.get(key)
+        if exe is None:
+            exe = fn.lower(*args).compile()
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            if client is not None:
+                client.wait_at_barrier(
+                    f"fit_tpu_{tag}_{len(cache)}", timeout_in_ms=600_000
+                )
+            cache[key] = exe
+        return exe(*args)
 
     def _init_state(self):
         cfg = self.cfg
@@ -161,10 +220,21 @@ class Trainer:
             )
         return state
 
-    def _device_batch(self, batch: dict, grad_accum: Optional[int] = None) -> dict:
+    def _device_batch(
+        self, batch: dict, grad_accum: Optional[int] = None, train: bool = True
+    ) -> dict:
         cfg = self.cfg
         accum = cfg.grad_accum if grad_accum is None else grad_accum
         dev = {k: v for k, v in batch.items() if k in ("tokens", "pos", "mask", "label")}
+        if train and self._use_t_sampler:
+            # importance-sampled timesteps + reweighting enter the jitted
+            # step as ordinary batch arrays. NOTE: with device prefetch the
+            # draw uses sampler weights that lag the loss history by the
+            # prefetch depth (2 steps) — the resampler's 10-deep history
+            # makes that immaterial.
+            ts, ws = self.t_sampler.sample(dev["tokens"].shape[0], self._t_rng)
+            dev["t"] = jnp.asarray(ts)
+            dev["t_weight"] = jnp.asarray(ws)
         if accum > 1:
             dev = split_for_accumulation(dev, accum)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -185,12 +255,18 @@ class Trainer:
                 lambda x: jax.make_array_from_process_local_data(sharding, x), dev
             )
 
-        # single host: shard the (micro)batch axis over data; replicate when
-        # it doesn't divide the mesh (tiny test batches)
+        # single host: shard the (micro)batch axis over data
         if b % dp == 0:
             spec = P(*([None] * batch_axis + ["data"]))
+        elif cfg.allow_batch_replication:
+            spec = P()  # tiny test batches, explicitly opted in
         else:
-            spec = P()
+            raise ValueError(
+                f"(micro)batch {b} does not divide the data axis (dp={dp}): "
+                "this would silently replicate the batch on every device "
+                f"(~{dp}x throughput loss). Fix global_batch_size/grad_accum "
+                "or set allow_batch_replication=True."
+            )
         return jax.device_put(dev, NamedSharding(self.mesh, spec))
 
     def _device_prefetched(self, batches, depth: int = 2):
@@ -230,7 +306,6 @@ class Trainer:
         done = False
 
         host_step = int(state.step)
-        first_run = True
         for epoch in range(self.start_epoch, cfg.epochs):
             start_batch = self.start_batch if epoch == self.start_epoch else 0
             batch_index = start_batch
@@ -242,27 +317,21 @@ class Trainer:
                 rng, step_rng = jax.random.split(rng)
                 if cfg.profile_dir and host_step == 10:
                     jax.profiler.start_trace(cfg.profile_dir)
-                if first_run and jax.process_count() > 1:
-                    # Multi-process: each compiled executable initializes its
-                    # own Gloo/collectives context at FIRST execution, under
-                    # a hard ~30 s key-value deadline. Compile time varies
-                    # across processes (cache state, host load), so compile
-                    # ahead-of-time, then align every process at the
-                    # coordination-service barrier, THEN execute — the
-                    # context rendezvous happens in lockstep.
-                    compiled = self.train_step.lower(
-                        state, dev_batch, step_rng
-                    ).compile()
-                    from jax._src import distributed
-
-                    if distributed.global_state.client is not None:
-                        distributed.global_state.client.wait_at_barrier(
-                            "fit_tpu_first_step", timeout_in_ms=600_000
-                        )
-                    state, metrics = compiled(state, dev_batch, step_rng)
+                if jax.process_count() > 1:
+                    state, metrics = self._run_aligned(
+                        self.train_step, self._compiled_train, "train",
+                        state, dev_batch, step_rng,
+                    )
                 else:
                     state, metrics = self.train_step(state, dev_batch, step_rng)
-                first_run = False
+                if self._use_t_sampler:
+                    # feed this step's (t, per-sample loss) into the resampler
+                    # history (multi-host sync happens inside). The fetch
+                    # synchronizes with the device each step — the price of
+                    # loss-aware sampling, same as the reference's allgather.
+                    self.t_sampler.update_with_local_losses(
+                        _local_np(metrics["t"]), _local_np(metrics["t_loss"])
+                    )
                 host_step += 1
                 batch_index += 1
                 if cfg.profile_dir and host_step == 20:
@@ -287,8 +356,15 @@ class Trainer:
                 val_losses = []
                 for vb in self.val_loader.epoch_batches(0):
                     rng, vrng = jax.random.split(rng)
-                    dev = self._device_batch(vb, grad_accum=1)
-                    val_losses.append(float(self.eval_step(state.ema_params, dev, vrng)))
+                    dev = self._device_batch(vb, grad_accum=1, train=False)
+                    if jax.process_count() > 1:
+                        vl = self._run_aligned(
+                            self.eval_step, self._compiled_eval, "eval",
+                            state.ema_params, dev, vrng,
+                        )
+                    else:
+                        vl = self.eval_step(state.ema_params, dev, vrng)
+                    val_losses.append(float(vl))
                 if val_losses:
                     self.logger.log(int(state.step), val_loss=float(np.mean(val_losses)), epoch=epoch)
 

@@ -31,21 +31,40 @@ Array = jnp.ndarray
 __all__ = ["diffusion_loss", "make_train_step", "make_eval_step"]
 
 
+def _masked_per_sample_mse(out: Array, target: Array, mask: Array) -> Array:
+    """(B,) per-sample mean squared error over each sample's valid tokens."""
+    m = mask[..., None].astype(jnp.float32)
+    se = jnp.sum(jnp.square(out - target) * m, axis=(1, 2))
+    denom = jnp.sum(mask.astype(jnp.float32), axis=1) * out.shape[-1]
+    return se / jnp.maximum(denom, 1.0)
+
+
 def diffusion_loss(
     model_apply: Callable,
     params,
     diffusion: GaussianDiffusion,
     batch: dict,
     rng: jax.Array,
-) -> Array:
-    """Masked eps-prediction MSE for one microbatch.
+):
+    """Masked eps-prediction MSE for one microbatch. Returns
+    ``(loss, (t, per_sample_loss))`` — the aux feeds the host-side
+    loss-second-moment timestep resampler's history.
 
-    ``batch``: tokens (B,T,D), pos (B,T,P), mask (B,T), label (B,).
+    ``batch``: tokens (B,T,D), pos (B,T,P), mask (B,T), label (B,); plus,
+    when a non-uniform timestep sampler is active, ``t`` (B,) int32 and
+    ``t_weight`` (B,) f32 importance weights drawn host-side (reference
+    ``timestep_sampler.py:30-47``). With weights the loss is the weighted
+    mean of per-sample masked MSEs (ADM importance-sampling semantics);
+    the uniform path keeps the reference's single global masked mean
+    (``F.mse_loss(out[mask], noise[mask])``).
     """
     tokens = batch["tokens"]
     b = tokens.shape[0]
     rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
-    t = jax.random.randint(rng_t, (b,), 0, diffusion.original_num_steps)
+    if "t" in batch:
+        t = batch["t"]
+    else:
+        t = jax.random.randint(rng_t, (b,), 0, diffusion.original_num_steps)
     noise = jax.random.normal(rng_noise, tokens.shape, jnp.float32)
     x_t = diffusion.q_sample(tokens.astype(jnp.float32), t, noise)
 
@@ -59,7 +78,13 @@ def diffusion_loss(
         train=True,
         rngs={"label_dropout": rng_drop},
     )
-    return masked_global_mse(out.astype(jnp.float32), noise, batch["mask"])
+    outf = out.astype(jnp.float32)
+    per_sample = _masked_per_sample_mse(outf, noise, batch["mask"])
+    if "t_weight" in batch:
+        loss = jnp.mean(batch["t_weight"] * per_sample)
+    else:
+        loss = masked_global_mse(outf, noise, batch["mask"])
+    return loss, (t, per_sample)
 
 
 def make_train_step(
@@ -82,22 +107,23 @@ def make_train_step(
     def loss_fn(params, micro, rng):
         return diffusion_loss(model_apply, params, diffusion, micro, rng)
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         if grad_accum == 1:
-            loss, grads = grad_fn(state.params, batch, rng)
+            (loss, (ts, t_losses)), grads = grad_fn(state.params, batch, rng)
         else:
             def micro_step(carry, xs):
                 micro, key = xs
-                loss_i, g_i = grad_fn(state.params, micro, key)
-                return jax.tree.map(jnp.add, carry, g_i), loss_i
+                (loss_i, aux_i), g_i = grad_fn(state.params, micro, key)
+                return jax.tree.map(jnp.add, carry, g_i), (loss_i, aux_i)
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
             keys = jax.random.split(rng, grad_accum)
-            gsum, losses = jax.lax.scan(micro_step, zero, (batch, keys))
+            gsum, (losses, (ts, t_losses)) = jax.lax.scan(micro_step, zero, (batch, keys))
             grads = jax.tree.map(lambda g: g / grad_accum, gsum)
             loss = jnp.mean(losses)
+            ts, t_losses = ts.reshape(-1), t_losses.reshape(-1)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -106,6 +132,10 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax_global_norm(grads),
             "step": state.step + 1,
+            # (B,) drawn timesteps + per-sample losses: the host-side
+            # loss-second-moment resampler's update stream
+            "t": ts,
+            "t_loss": t_losses,
         }
         return (
             TrainState(
@@ -133,7 +163,7 @@ def make_eval_step(model_apply: Callable, diffusion: GaussianDiffusion):
 
     @jax.jit
     def step(params, batch: dict, rng: jax.Array):
-        return diffusion_loss(model_apply, params, diffusion, batch, rng)
+        return diffusion_loss(model_apply, params, diffusion, batch, rng)[0]
 
     return step
 

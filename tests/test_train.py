@@ -95,7 +95,7 @@ def test_grad_accum_matches_big_batch(setup):
     keys = jax.random.split(rng, 2)
 
     # manual: average grads of the two microbatches (same per-micro rngs)
-    g_fn = jax.grad(lambda p, mb, k: diffusion_loss(model.apply, p, diffusion, mb, k))
+    g_fn = jax.grad(lambda p, mb, k: diffusion_loss(model.apply, p, diffusion, mb, k)[0])
     micro0 = {k: v[0] for k, v in split.items()}
     micro1 = {k: v[1] for k, v in split.items()}
     g0 = g_fn(params, micro0, keys[0])
@@ -150,7 +150,7 @@ def test_trainer_end_to_end(tmp_path):
         image_size=64,  # max_length = (64/2/8)^2 = 16 tokens
         num_classes=2,
         epochs=2,
-        global_batch_size=4,
+        global_batch_size=4, allow_batch_replication=True,
         grad_accum=2,
         log_every=1,
         compute_dtype="float32",
@@ -187,7 +187,7 @@ def test_resume_fidelity_loss_and_data_stream(tmp_path):
         return TrainConfig(
             feature_path=str(root), feature_val_path="",
             results_dir=str(results), model="FiT-S/2", image_size=64,
-            num_classes=2, epochs=4, global_batch_size=4, grad_accum=1,
+            num_classes=2, epochs=4, global_batch_size=4, allow_batch_replication=True, grad_accum=1,
             log_every=1, compute_dtype="float32", attn_backend="xla",
             scan_blocks=False,
         )
@@ -216,6 +216,97 @@ def test_resume_fidelity_loss_and_data_stream(tmp_path):
     assert set(got) == set(want)
     for step in want:
         np.testing.assert_allclose(got[step], want[step], rtol=1e-5)
+
+
+def test_importance_sampled_loss_semantics(setup):
+    """With host-drawn (t, weights) in the batch, the loss is the weighted
+    mean of per-sample masked MSEs and the step surfaces (t, per-sample
+    loss) for the resampler history (VERDICT r2 item 8: wire the sampler)."""
+    from fit_tpu.diffusion.timestep_samplers import LossSecondMomentResampler
+    from fit_tpu.train.step import _masked_per_sample_mse, diffusion_loss
+
+    model, params, batch = setup
+    diffusion = create_diffusion(None)
+    b = batch["tokens"].shape[0]
+    sampler = LossSecondMomentResampler(diffusion.original_num_steps)
+    ts, ws = sampler.sample(b, np.random.default_rng(0))
+    wb = dict(batch, t=jnp.asarray(ts), t_weight=jnp.asarray(ws))
+
+    rng = jax.random.PRNGKey(5)
+    loss, (t_out, per) = diffusion_loss(model.apply, params, diffusion, wb, rng)
+    np.testing.assert_array_equal(np.asarray(t_out), ts)
+    np.testing.assert_allclose(
+        float(loss), float(np.mean(ws * np.asarray(per))), rtol=1e-6
+    )
+    # history update consumes exactly this stream
+    sampler.update_with_local_losses(np.asarray(t_out), np.asarray(per))
+    assert sampler._loss_counts.sum() == b
+
+    # and the train step surfaces the same aux through metrics
+    tx = make_optimizer(1e-3)
+    step_fn = make_train_step(model.apply, diffusion, tx, grad_accum=1, donate=False)
+    state = create_train_state(params, tx)
+    _, metrics = step_fn(state, wb, rng)
+    assert metrics["t"].shape == (b,) and metrics["t_loss"].shape == (b,)
+    np.testing.assert_array_equal(np.asarray(metrics["t"]), ts)
+
+
+def test_trainer_loss_second_moment_end_to_end(tmp_path):
+    """Trainer with --timestep_sampler loss-second-moment: runs, feeds the
+    resampler history each step, loss stays finite."""
+    root = tmp_path / "feat"
+    rng = np.random.default_rng(0)
+    for cls in ("0", "1"):
+        (root / cls).mkdir(parents=True)
+        for i in range(8):
+            np.save(root / cls / f"{i}.npy", rng.normal(size=(4, 16, 16)).astype(np.float16))
+
+    from fit_tpu.train import Trainer
+    from fit_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        feature_path=str(root), feature_val_path="",
+        results_dir=str(tmp_path / "results"), model="FiT-S/2", image_size=64,
+        num_classes=2, epochs=1, global_batch_size=4, allow_batch_replication=True,
+        grad_accum=2, log_every=1, compute_dtype="float32", attn_backend="xla",
+        timestep_sampler="loss-second-moment",
+    )
+    trainer = Trainer(cfg)
+    state = trainer.fit(max_steps=3)
+    assert int(state.step) == 3
+    # 3 steps x 4 samples of history entered the resampler
+    assert trainer.t_sampler._loss_counts.sum() == 12
+
+
+def test_nondivisible_batch_raises(tmp_path):
+    """A (micro)batch that doesn't divide the data axis must be a hard error
+    (VERDICT r2: the silent replication fallback is a ~dp x throughput loss
+    on a misconfigured real run), unless explicitly opted into."""
+    import pytest as _pytest
+
+    root = tmp_path / "feat"
+    rng = np.random.default_rng(0)
+    for cls in ("0",):
+        (root / cls).mkdir(parents=True)
+        for i in range(4):
+            np.save(root / cls / f"{i}.npy", rng.normal(size=(4, 8, 8)).astype(np.float16))
+
+    from fit_tpu.train import Trainer
+    from fit_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        feature_path=str(root), feature_val_path="",
+        results_dir=str(tmp_path / "results"), model="FiT-S/2", image_size=64,
+        num_classes=1, epochs=1, global_batch_size=4, grad_accum=1,
+        log_every=1, compute_dtype="float32", attn_backend="xla",
+    )
+    trainer = Trainer(cfg)  # 8-device mesh, dp=8; batch 4 doesn't divide
+    batch = {
+        "tokens": jnp.zeros((4, 16, 16)), "pos": jnp.zeros((4, 16, 8)),
+        "mask": jnp.ones((4, 16), bool), "label": jnp.zeros((4,), jnp.int32),
+    }
+    with _pytest.raises(ValueError, match="does not divide the data axis"):
+        trainer._device_batch(batch)
 
 
 def test_loader_start_batch_resume():
@@ -267,7 +358,7 @@ def test_trainer_validation_path(tmp_path):
         feature_val_path=str(tmp_path / "val"),
         results_dir=str(tmp_path / "results"),
         model="FiT-S/2", image_size=64, num_classes=2, epochs=1,
-        global_batch_size=4, grad_accum=1, log_every=1,
+        global_batch_size=4, allow_batch_replication=True, grad_accum=1, log_every=1,
         compute_dtype="float32", attn_backend="xla", scan_blocks=False,
     )
     trainer = Trainer(cfg)
@@ -303,7 +394,7 @@ def test_trainer_bucket_packing(tmp_path):
         image_size=64,  # budget 16 tokens
         num_classes=2,
         epochs=2,
-        global_batch_size=4,
+        global_batch_size=4, allow_batch_replication=True,
         grad_accum=1,
         log_every=1,
         compute_dtype="float32",
