@@ -11,9 +11,12 @@ caller-provided).
 
 FID(m1, C1, m2, C2) = |m1 - m2|^2 + tr(C1 + C2 - 2 (C1 C2)^{1/2})
 
-The trace term uses the eigenvalues of ``C1 @ C2`` (similar to a symmetric
-PSD matrix, so its spectrum is real and non-negative):
-``tr((C1 C2)^{1/2}) = sum(sqrt(eig(C1 C2)))`` — no scipy needed.
+The trace term follows pytorch-fid exactly: ``scipy.linalg.sqrtm`` on the
+product, with an eps-jitter retry when the product is singular (2048-dim
+covariances from <50k samples are rank-deficient, where the plain
+eigenvalue route drifts). Without scipy it falls back to
+``tr((C1 C2)^{1/2}) = sum(sqrt(eig(C1 C2)))`` — adequate only for
+well-conditioned statistics.
 """
 
 from __future__ import annotations
@@ -42,11 +45,30 @@ def frechet_distance(
     cov1, cov2 = np.atleast_2d(cov1).astype(np.float64), np.atleast_2d(cov2).astype(np.float64)
 
     diff = mu1 - mu2
-    prod = cov1 @ cov2
-    eigvals = np.linalg.eigvals(prod)
-    # numerical noise can leave tiny negative/imaginary parts
-    sqrt_eigvals = np.sqrt(np.clip(eigvals.real, 0.0, None))
-    tr_sqrt = float(sqrt_eigvals.sum())
+    try:
+        from scipy import linalg as _sla
+    except ImportError:  # pragma: no cover - scipy is in the base image
+        _sla = None
+
+    if _sla is not None:
+        # pytorch-fid parity path: matrix sqrt of the (nonsymmetric) product;
+        # when the product is singular (rank-deficient covariances from
+        # N < D samples) sqrtm goes non-finite -> jitter both covariances by
+        # eps*I and retry, exactly as pytorch-fid does
+        covmean, _ = _sla.sqrtm(cov1 @ cov2, disp=False)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(cov1.shape[0]) * eps
+            covmean, _ = _sla.sqrtm((cov1 + offset) @ (cov2 + offset), disp=False)
+        if np.iscomplexobj(covmean):
+            if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+                m = float(np.max(np.abs(covmean.imag)))
+                raise ValueError(f"sqrtm produced a significant imaginary component ({m})")
+            covmean = covmean.real
+        tr_sqrt = float(np.trace(covmean))
+    else:
+        eigvals = np.linalg.eigvals(cov1 @ cov2)
+        # numerical noise can leave tiny negative/imaginary parts
+        tr_sqrt = float(np.sqrt(np.clip(eigvals.real, 0.0, None)).sum())
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * tr_sqrt)
 
 
