@@ -119,10 +119,12 @@ def build_train(model_name):
     )
 
 
-def measure_train(model_name, batch, grad_accum=2, iters=10):
+def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256):
     """Training-step throughput (images/sec/chip) on synthetic latents —
     the reference's training configuration is FiT-B/2, global batch 128,
-    bf16, grad-accum 2 (FiT/launch.sbatch:13, train.py:287-288)."""
+    bf16, grad-accum 2 (FiT/launch.sbatch:13, train.py:287-288). ``t_len``
+    extends the measurement to the sequence-scaled budgets (1024 = 512^2,
+    2304 = 768^2 via VisionNTK)."""
     import numpy as np
 
     from fit_tpu.diffusion import create_diffusion
@@ -137,9 +139,8 @@ def measure_train(model_name, batch, grad_accum=2, iters=10):
     step_fn = make_train_step(
         model.apply, create_diffusion(None), tx, grad_accum=grad_accum, donate=False
     )
-    t_len = 256
     rng = np.random.default_rng(0)
-    lengths = rng.integers(128, t_len + 1, size=batch)
+    lengths = rng.integers(max(t_len // 2, 1), t_len + 1, size=batch)
     batch_d = {
         "tokens": jnp.asarray(rng.normal(size=(batch, t_len, 16)).astype(np.float32)),
         "pos": jnp.asarray(rng.normal(size=(batch, t_len, head_dim)).astype(np.float32)),
@@ -157,7 +158,52 @@ def measure_train(model_name, batch, grad_accum=2, iters=10):
         state, m = step_fn(state, batch_d, jax.random.fold_in(key, i))
     jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
+    return batch / dt, dt, model, params
+
+
+def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
+    """MFU + roofline bounds for one TRAINING step (VERDICT r2 item 4 —
+    training is the reference's primary workload and needs the same
+    what-does-the-hardware-permit anchoring the sampling bench got).
+
+    Convention: model FLOPs = 3x forward (forward + 2x backward matmuls,
+    the PaLM MFU accounting); remat recompute is hardware work but not
+    model work, so it appears as a separate utilization entry."""
+    from fit_tpu.utils.flops import fit_forward_flops, peak_flops, peak_hbm_bw
+
+    fwd = fit_forward_flops(
+        model.hidden_size, model.depth, model.num_heads, t=t_tokens, batch=batch
+    )
+    fl = fwd.scaled(3.0)
+    hw = fwd.scaled(4.0 if remat else 3.0)  # remat replays the forward
+    peak = peak_flops()
+    bw = peak_hbm_bw()
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(params) if hasattr(x, "shape")
+    )
+    report = {
+        "seq_tokens": t_tokens,
+        "train_tflops": round(fl.total / 1e12, 3),
+        "measured_step_ms": round(step_lat_s * 1e3, 3),
+    }
+    if peak:
+        ideal = {
+            "dense_matmul_ms": fl.dense / peak * 1e3,
+            "attention_ms": fl.attention / peak * 1e3,
+            "rope_ms": fl.rope / peak * 1e3,
+            "cond_ms": fl.cond / peak * 1e3,
+        }
+        report.update({k: round(v, 3) for k, v in ideal.items()})
+        report["mfu"] = round(fl.total / step_lat_s / peak, 4)
+        report["hw_util_incl_remat"] = round(hw.total / step_lat_s / peak, 4)
+        report["compute_bound_ms"] = round(sum(ideal.values()), 3)
+        report["overhead_ms"] = round(step_lat_s * 1e3 - sum(ideal.values()), 3)
+    if bw:
+        # an AdamW step reads params+grads+2 moments and writes params+
+        # moments+EMA: ~9 fp32-equivalent param-sized transfers (bf16 fwd
+        # reads are the cheap part) — the optimizer's bandwidth floor
+        report["optimizer_hbm_ms"] = round(n_params * 4 * 9 / bw * 1e3, 3)
+    return report
 
 
 def main():
@@ -168,8 +214,15 @@ def main():
     )
     ap.add_argument("--model", default="FiT-XL/2")
     # throughput peaks at small batch (bandwidth-bound regime; see sweep in
-    # PROGRESS notes) — batch 8 is the measured optimum on v5e
-    ap.add_argument("--batch", type=int, default=8)
+    # PROGRESS notes) — batch 8 is the measured optimum on v5e. When given
+    # explicitly it is ADDED to the sweep instead of being silently
+    # overridden by it (advisor r2).
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 8 (sample/extrapolate) or 128 (train)")
+    ap.add_argument("--train-tokens", type=int, default=256,
+                    help="train-mode sequence length (1024 = 512^2 budget, "
+                    "2304 = 768^2 budget via VisionNTK)")
+    ap.add_argument("--train-accum", type=int, default=2)
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--baseline-steps", type=int, default=25)
     ap.add_argument("--skip-baseline", action="store_true")
@@ -193,17 +246,25 @@ def main():
 
     if args.mode == "train":
         model_name = "FiT-B/2" if args.model == "FiT-XL/2" else args.model
-        batch = 128 if on_tpu else 4
-        imgs_per_sec, step_s = measure_train(model_name, batch)
-        print(json.dumps({
-            "metric": f"train images/sec/chip {model_name} 256tok bf16 accum2",
+        batch = args.batch or (128 if on_tpu else 4)
+        t_len = args.train_tokens if on_tpu else 32
+        imgs_per_sec, step_s, model, params = measure_train(
+            model_name, batch, grad_accum=args.train_accum, t_len=t_len
+        )
+        out = {
+            "metric": f"train images/sec/chip {model_name} {t_len}tok bf16 "
+                      f"accum{args.train_accum}",
             "value": round(imgs_per_sec, 2),
             "unit": "img/s/chip",
             "vs_baseline": 1.0,
             "step_ms": round(step_s * 1e3, 2),
             "batch": batch,
             "backend": jax.default_backend(),
-        }))
+        }
+        out["roofline"] = train_roofline(model, params, batch, t_len, step_s)
+        if "mfu" in out["roofline"]:
+            out["mfu"] = out["roofline"]["mfu"]
+        print(json.dumps(out))
         return
 
     # our configuration: bf16 + the fused RoPE+attention kernel
@@ -211,7 +272,12 @@ def main():
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
 
-    batches = [8, 16, 32] if (args.sweep_batch and on_tpu) else [args.batch]
+    if args.sweep_batch and on_tpu:
+        batches = [8, 16, 32]
+        if args.batch and args.batch not in batches:
+            batches.append(args.batch)
+    else:
+        batches = [args.batch or 8]
     sweep = []
     naive = naive_params = None
     for batch in batches:
