@@ -39,6 +39,18 @@ def _linear(sd: Dict, name: str) -> Dict:
     }
 
 
+def _qkv_linear(sd: Dict, name: str) -> Dict:
+    """qkv Linear (3C, D) -> the head-grouped DenseGeneral layout (D, 3, C);
+    bias (3C,) -> (3, C). Pure reshape after the transpose — flat and grouped
+    share memory order, so this is the same conversion as _linear."""
+    lin = _linear(sd, name)
+    d_in, w = lin["kernel"].shape
+    return {
+        "kernel": lin["kernel"].reshape(d_in, 3, w // 3),
+        "bias": lin["bias"].reshape(3, w // 3),
+    }
+
+
 def _strip(sd: Dict) -> Dict:
     out = {}
     for k, v in sd.items():
@@ -79,7 +91,7 @@ def convert_torch_fit_state_dict(sd: Dict, depth: int, scan_blocks: bool = False
         params[f"blocks_{i}"] = {
             "adaLN": _linear(sd, f"{b}.adaLN_modulation.1"),
             "attn": {
-                "qkv": _linear(sd, f"{b}.attn.qkv"),
+                "qkv": _qkv_linear(sd, f"{b}.attn.qkv"),
                 "proj": _linear(sd, f"{b}.attn.proj"),
             },
             "ffn": {

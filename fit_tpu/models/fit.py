@@ -41,9 +41,14 @@ from fit_tpu.models.layers import (
 Array = jnp.ndarray
 
 # Largest T routed to the fused natural-layout kernel family; larger T
-# falls back to the blocked ops.attention kernel. (Raised when the chunked
-# grid is verified at the new size on hardware — r2 ceiling was 2304.)
-_FUSED_MAX_T = 2304
+# falls back to the blocked ops.attention kernel. Inference/sampling: 4096
+# (1024x1024 — K+Q-chunked grid verified on v5e r3: 7.1-7.5 ms/row at XL,
+# err 2e-4, both mask branches). Training: 2304 (the chunked Pallas
+# BACKWARD's verified ceiling; T=4096 grads fail in the Mosaic compiler and
+# would fall to a score-materializing XLA backward — route them to the
+# blocked kernel instead).
+_FUSED_MAX_T_EVAL = 4096
+_FUSED_MAX_T_TRAIN = 2304
 
 __all__ = [
     "FiT",
@@ -167,9 +172,10 @@ class FiT(nn.Module):
             # blocked ops.attention kernel.
             from fit_tpu.ops.fused_attention import fused_supported, split_rope_tables
 
+            max_t = _FUSED_MAX_T_TRAIN if train else _FUSED_MAX_T_EVAL
             use_fused = (
                 self.attn_backend in ("auto", "fused")
-                and t_len <= _FUSED_MAX_T
+                and t_len <= max_t
                 and fused_supported(t_len)
                 and (jax.default_backend() == "tpu" or self.attn_backend == "fused")
             )

@@ -115,6 +115,78 @@ def _shard_over_batch(fn, static_argnums, rule):
     return cp
 
 
+def _shard_batch_model(fn, static_argnums, rule, arg_model_dims, res_model_dims):
+    """Batch + head-group partitioning contract for the natural-layout family.
+
+    Like :func:`_shard_over_batch`, plus tensor parallelism: heads never
+    interact in attention, so when the ``(B, T, 3, C)`` qkv operand arrives
+    with its last dim sharded over a mesh axis (the head-grouped Megatron
+    layout — C is ``[head0 | head1 | ...]`` lanes, so a C-shard is a
+    complete per-head [q|k|v] group), the kernel simply runs per-shard on
+    its local heads: zero collectives inside the attention sublayer, exactly
+    the Megatron contract (the proj all-reduce happens outside, from the
+    row-parallel matmul). The lowered fn derives its local head count from
+    the local C (``head_dim`` is the static arg, not ``num_heads``).
+
+    ``arg_model_dims[i]`` / ``res_model_dims[j]`` name the dim of each
+    operand / result that carries the head axis (None = replicated there —
+    e.g. the RoPE tables are (B, T, head_dim), shared by every head).
+    """
+    cp = custom_partitioning(fn, static_argnums=static_argnums)
+
+    def _axes(arg_infos):
+        batch = model = None
+        for a in arg_infos:
+            spec = getattr(getattr(a, "sharding", None), "spec", None)
+            if spec is not None and len(spec) and spec[0] is not None:
+                batch = spec[0]
+                break
+        spec0 = getattr(getattr(arg_infos[0], "sharding", None), "spec", None)
+        md = arg_model_dims[0]
+        if spec0 is not None and md is not None and len(spec0) > md:
+            model = spec0[md]
+        return batch, model
+
+    def _mk(mesh, b_ax, m_ax, nd, mdim):
+        spec = [None] * nd
+        spec[0] = b_ax
+        if m_ax is not None and mdim is not None:
+            spec[mdim] = m_ax
+        return NamedSharding(mesh, PartitionSpec(*spec))
+
+    def _outs(mesh, b_ax, m_ax, result_infos):
+        if isinstance(result_infos, (list, tuple)):
+            return tuple(
+                _mk(mesh, b_ax, m_ax, r.ndim, md)
+                for r, md in zip(result_infos, res_model_dims)
+            )
+        return _mk(mesh, b_ax, m_ax, result_infos.ndim, res_model_dims[0])
+
+    def infer(*cb_args):
+        *_, mesh, arg_infos, result_infos = cb_args
+        b_ax, m_ax = _axes(arg_infos)
+        return _outs(mesh, b_ax, m_ax, result_infos)
+
+    def partition(*cb_args):
+        *statics, mesh, arg_infos, result_infos = cb_args
+        b_ax, m_ax = _axes(arg_infos)
+        arg_sh = tuple(
+            _mk(mesh, b_ax, m_ax, a.ndim, md)
+            for a, md in zip(arg_infos, arg_model_dims)
+        )
+        out_sh = _outs(mesh, b_ax, m_ax, result_infos)
+
+        def lower(*ops):
+            return fn(*ops, *statics)
+
+        return mesh, lower, out_sh, arg_sh
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer, partition=partition, sharding_rule=rule
+    )
+    return cp
+
+
 def rotation_matrix(d: int, dtype=jnp.float32) -> Array:
     """(d, d) constant: ``x @ S`` maps lane pairs (a, b) -> (-b, a)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
@@ -586,6 +658,11 @@ def _use_pallas_bwd(t: int) -> bool:
     XLA 3.6 ms — the score tensor fits comfortably), but training batches
     are large, so the T-gate keeps the in-training winner.
 
+    T > 1024 takes the K-CHUNKED Pallas backward instead (routed via the
+    lse-saving residual in _qkv_fwd, not this gate): measured r3 at T=2304
+    b=2 XL bf16, 8.4 ms vs 15.5 ms XLA fallback (1.85x, and no (B,H,T,T)
+    fp32 HBM); ceiling 2304 (see _chunked_bwd_supported).
+
     Override with $FIT_TPU_PALLAS_BWD = always | never | auto.
     """
     import os
@@ -915,12 +992,13 @@ def _qkv_chunked_kernel(
             lse_ref[0] = m_s[...] + jnp.log2(z_s[...])
 
 
-def _qkv_forward_chunked(qkv, cos, sin, lengths, scale, num_heads, with_lse):
+def _qkv_forward_chunked(qkv3, cos, sin, lengths, scale, head_dim, with_lse):
     """Chunked online-softmax forward (t > threshold). Returns ``out`` or
     ``(out, lse2)`` where lse2 is (B, T, H) f32 in the exp2 domain."""
-    b, t, w = qkv.shape
-    c = w // 3
-    d = c // num_heads
+    b, t, _, c = qkv3.shape
+    qkv = qkv3.reshape(b, t, 3 * c)
+    d = head_dim
+    num_heads = c // d
     ck = _pick_chunk(t, min(1024, _chunk_threshold()))
     if ck is None:
         raise ValueError(
@@ -976,14 +1054,15 @@ def _qkv_forward_chunked(qkv, cos, sin, lengths, scale, num_heads, with_lse):
     return res
 
 
-def _qkv_forward(qkv, cos, sin, lengths, scale, num_heads):
-    b, t, w = qkv.shape
-    c = w // 3
-    d = c // num_heads
+def _qkv_forward(qkv3, cos, sin, lengths, scale, head_dim):
+    b, t, _, c = qkv3.shape
+    d = head_dim
+    num_heads = c // d
     if t > _chunk_threshold():
         return _qkv_forward_chunked(
-            qkv, cos, sin, lengths, scale, num_heads, with_lse=False
+            qkv3, cos, sin, lengths, scale, head_dim, with_lse=False
         )
+    qkv = qkv3.reshape(b, t, 3 * c)
 
     kernel = functools.partial(_qkv_kernel, scale=scale, num_heads=num_heads)
     spec_c = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 0))
@@ -1082,10 +1161,12 @@ def _qkv_bwd_kernel(
         dqkv_ref[0, :, 2 * c + h * d : 2 * c + (h + 1) * d] = dv.astype(dqkv_ref.dtype)
 
 
-def _qkv_backward(qkv, g, cos, sin, lengths, scale, num_heads):
-    b, t, w = qkv.shape
-    c = w // 3
-    d = c // num_heads
+def _qkv_backward(qkv3, g, cos, sin, lengths, scale, head_dim):
+    b, t, _, c = qkv3.shape
+    w = 3 * c
+    qkv = qkv3.reshape(b, t, w)
+    d = head_dim
+    num_heads = c // d
     kernel = functools.partial(_qkv_bwd_kernel, scale=scale, num_heads=num_heads)
     spec_c = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 0))
     spec_k = pl.BlockSpec((1, t, c), lambda i, lens: (i, 0, 1))
@@ -1105,7 +1186,7 @@ def _qkv_backward(qkv, g, cos, sin, lengths, scale, num_heads):
             vmem_limit_bytes=(96 << 20) if t >= 512 else None,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(lengths, qkv, qkv, qkv, g, cos, sin)
+    )(lengths, qkv, qkv, qkv, g, cos, sin).reshape(b, t, 3, c)
 
 
 def _qkv_chunked_bwd_kernel(
@@ -1211,13 +1292,14 @@ def _qkv_chunked_bwd_kernel(
             dq_ref[0, :, sl] = rope_vjp(dq_acc[:, sl], cos, sin).astype(dq_ref.dtype)
 
 
-def _qkv_backward_chunked(qkv, g, out, lse, cos, sin, lengths, scale, num_heads):
+def _qkv_backward_chunked(qkv3, g, out, lse, cos, sin, lengths, scale, head_dim):
     """dqkv for the chunked (t > 1024) path. Streams dk/dv per key chunk;
     dq accumulates in VMEM scratch (queries stay un-chunked: full-T query
     scratch is what the forward already proved fits to T=2304)."""
-    b, t, w = qkv.shape
-    c = w // 3
-    d = c // num_heads
+    b, t, _, c = qkv3.shape
+    qkv = qkv3.reshape(b, t, 3 * c)
+    d = head_dim
+    num_heads = c // d
     # smaller chunks than the forward (768 target): the backward holds ~3x
     # the full-T blocks (q, g, o, dq, accumulators), so trade pipeline
     # granularity for VMEM headroom
@@ -1268,16 +1350,16 @@ def _qkv_backward_chunked(qkv, g, out, lse, cos, sin, lengths, scale, num_heads)
         ),
         interpret=jax.default_backend() != "tpu",
     )(lengths, qkv, qkv, qkv, g, out, lse, cos, sin, cos, sin)
-    return jnp.concatenate([dq, dkv], axis=-1)
+    return jnp.concatenate([dq, dkv], axis=-1).reshape(b, t, 3, c)
 
 
-def _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads):
+def _qkv_xla_bwd(qkv3, g, cos, sin, lengths, scale, head_dim):
     """XLA fallback backward for small T (tiny score tiles, where the einsum
     backward measured faster than the Pallas flash — see _use_pallas_bwd)."""
-    b, t, w = qkv.shape
-    c = w // 3
-    d = c // num_heads
-    qkv5 = qkv.reshape(b, t, 3, num_heads, d)
+    b, t, _, c = qkv3.shape
+    d = head_dim
+    num_heads = c // d
+    qkv5 = qkv3.reshape(b, t, 3, num_heads, d)
     q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
     g4 = g.reshape(b, t, num_heads, d)
 
@@ -1286,81 +1368,106 @@ def _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads):
 
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(g4.astype(jnp.float32))
-    dqkv = jnp.concatenate(
+    return jnp.stack(
         [
-            dq.reshape(b, t, c).astype(qkv.dtype),
-            dk.reshape(b, t, c).astype(qkv.dtype),
-            dv.reshape(b, t, c).astype(qkv.dtype),
+            dq.reshape(b, t, c).astype(qkv3.dtype),
+            dk.reshape(b, t, c).astype(qkv3.dtype),
+            dv.reshape(b, t, c).astype(qkv3.dtype),
         ],
-        axis=-1,
+        axis=2,
     )
-    return dqkv
 
 
-# GSPMD batch-partitioning contracts for the natural-layout family
-# (see _shard_over_batch)
-_qkv_forward_p = _shard_over_batch(
-    _qkv_forward, (4, 5), "b t p, b t d, b t d, b -> b t q"
+# GSPMD batch+head partitioning contracts for the natural-layout family
+# (see _shard_batch_model): operand 0 is qkv3 (B, T, 3, C) whose last dim is
+# the head-grouped lane axis — a 'model'-axis shard of it is a complete set
+# of per-head [q|k|v] groups, so TP runs the kernel on local heads with no
+# collectives. RoPE tables are (B, T, head_dim), shared across heads.
+_qkv_forward_p = _shard_batch_model(
+    _qkv_forward, (4, 5), "b t s c, b t d, b t d, b -> b t c",
+    arg_model_dims=[3, None, None, None], res_model_dims=[2],
 )
-_qkv_forward_lse_p = _shard_over_batch(
-    _qkv_forward_chunked, (4, 5, 6), "b t p, b t d, b t d, b -> b t q, b t h"
+_qkv_forward_lse_p = _shard_batch_model(
+    _qkv_forward_chunked, (4, 5, 6), "b t s c, b t d, b t d, b -> b t c, b t h",
+    arg_model_dims=[3, None, None, None], res_model_dims=[2, 2],
 )
-_qkv_backward_p = _shard_over_batch(
-    _qkv_backward, (5, 6), "b t p, b t q, b t d, b t d, b -> b t p"
+_qkv_backward_p = _shard_batch_model(
+    _qkv_backward, (5, 6), "b t s c, b t c, b t d, b t d, b -> b t s c",
+    arg_model_dims=[3, 2, None, None, None], res_model_dims=[3],
 )
-_qkv_backward_chunked_p = _shard_over_batch(
+_qkv_backward_chunked_p = _shard_batch_model(
     _qkv_backward_chunked, (7, 8),
-    "b t p, b t q, b t q, b t h, b t d, b t d, b -> b t p",
+    "b t s c, b t c, b t c, b t h, b t d, b t d, b -> b t s c",
+    arg_model_dims=[3, 2, 2, 2, None, None, None], res_model_dims=[3],
 )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _qkv_rope_core(qkv, cos, sin, lengths, scale, num_heads):
-    return _qkv_forward_p(qkv, cos, sin, lengths, scale, num_heads)
+def _qkv_rope_core(qkv3, cos, sin, lengths, scale, head_dim):
+    return _qkv_forward_p(qkv3, cos, sin, lengths, scale, head_dim)
 
 
 def qkv_rope_flash_attention(qkv, cos, sin, lengths, scale, num_heads):
     """Fused RoPE + masked attention over the RAW qkv projection output.
 
-    qkv: (B, T, 3*C) — the qkv Dense output, untouched (heads interpreted as
-    contiguous [q_h0..q_hH | k_h0.. | v_h0..] blocks of C/num_heads lanes,
-    reference ``fit.py:234``). cos/sin: (B, T, d) fp32 pair-duplicated
+    qkv: (B, T, 3, C) — the qkv DenseGeneral output, untouched (each C block
+    is head-major [h0 | h1 | ...] lanes of ``C/num_heads``, reference
+    ``fit.py:234``) — or the flat (B, T, 3*C) [q|k|v] equivalent (same
+    memory layout; reshaped free). cos/sin: (B, T, d) fp32 pair-duplicated
     tables (:func:`split_rope_tables`); lengths: (B,) int32 prefix lengths.
     Returns (B, T, C) in qkv's dtype, laid out for the out-projection.
     """
-    return _qkv_rope_core(qkv, cos, sin, lengths, scale, num_heads)
+    if qkv.ndim == 3:
+        b, t, w = qkv.shape
+        qkv = qkv.reshape(b, t, 3, w // 3)
+    head_dim = qkv.shape[-1] // num_heads
+    return _qkv_rope_core(qkv, cos, sin, lengths, scale, head_dim)
 
 
-def _qkv_fwd(qkv, cos, sin, lengths, scale, num_heads):
-    t = qkv.shape[1]
+def _chunked_bwd_supported(t: int) -> bool:
+    """The chunked Pallas backward is verified on v5e to T=2304 (768^2
+    budget; bf16 err 4e-3 vs the fp32 oracle, 8.4 ms vs 15.5 ms for the XLA
+    fallback at b=2 XL). T=4096 fails in the Mosaic compiler (r3) — grads
+    there fall back to XLA (training beyond 768^2 is not a reference
+    workload; sampling covers T=4096 forward-only). Interpret mode has no
+    VMEM limits, so tests exercise the chunked backward at any T."""
+    return jax.default_backend() != "tpu" or t <= 2304
+
+
+def _qkv_fwd(qkv3, cos, sin, lengths, scale, head_dim):
+    t = qkv3.shape[1]
+    if t > _chunk_threshold() and not _chunked_bwd_supported(t):
+        # T too large for the Pallas backward: plain forward, XLA-bwd route
+        out = _qkv_forward_p(qkv3, cos, sin, lengths, scale, head_dim)
+        return out, (qkv3, cos, sin, lengths)
     if t > _chunk_threshold():
         # chunked regime: save the forward output (free — it IS the primal
         # result) + the per-row log2-sum-exp so the backward recomputes
         # probabilities chunk-by-chunk with no second online pass
-        out, lse = _qkv_forward_lse_p(qkv, cos, sin, lengths, scale, num_heads, True)
-        return out, (qkv, cos, sin, lengths, out, lse)
-    out = _qkv_forward_p(qkv, cos, sin, lengths, scale, num_heads)
-    return out, (qkv, cos, sin, lengths)
+        out, lse = _qkv_forward_lse_p(qkv3, cos, sin, lengths, scale, head_dim, True)
+        return out, (qkv3, cos, sin, lengths, out, lse)
+    out = _qkv_forward_p(qkv3, cos, sin, lengths, scale, head_dim)
+    return out, (qkv3, cos, sin, lengths)
 
 
-def _qkv_bwd(scale, num_heads, res, g):
+def _qkv_bwd(scale, head_dim, res, g):
     import os
 
     if len(res) == 6:  # chunked regime (t > threshold), lse saved
-        qkv, cos, sin, lengths, out, lse = res
+        qkv3, cos, sin, lengths, out, lse = res
         if os.environ.get("FIT_TPU_PALLAS_BWD", "auto") == "never":
-            dqkv = _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads)
+            dqkv = _qkv_xla_bwd(qkv3, g, cos, sin, lengths, scale, head_dim)
         else:
             dqkv = _qkv_backward_chunked_p(
-                qkv, g, out, lse, cos, sin, lengths, scale, num_heads
+                qkv3, g, out, lse, cos, sin, lengths, scale, head_dim
             )
         return dqkv, None, None, None
-    qkv, cos, sin, lengths = res
-    t = qkv.shape[1]
+    qkv3, cos, sin, lengths = res
+    t = qkv3.shape[1]
     if _use_pallas_bwd(t):
-        dqkv = _qkv_backward_p(qkv, g, cos, sin, lengths, scale, num_heads)
+        dqkv = _qkv_backward_p(qkv3, g, cos, sin, lengths, scale, head_dim)
     else:
-        dqkv = _qkv_xla_bwd(qkv, g, cos, sin, lengths, scale, num_heads)
+        dqkv = _qkv_xla_bwd(qkv3, g, cos, sin, lengths, scale, head_dim)
     return dqkv, None, None, None
 
 

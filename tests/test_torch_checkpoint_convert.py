@@ -210,4 +210,4 @@ def test_scan_blocks_layout_conversion():
     sd = {k: v.numpy() for k, v in fake_reference_state_dict(rng).items()}
     flat = convert_torch_fit_state_dict(sd, depth=DEPTH, scan_blocks=True)
     stacked = flat["params"]["blocks"]["block"]
-    assert stacked["attn"]["qkv"]["kernel"].shape == (DEPTH, HID, 3 * HID)
+    assert stacked["attn"]["qkv"]["kernel"].shape == (DEPTH, HID, 3, HID)

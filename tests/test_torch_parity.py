@@ -49,7 +49,11 @@ def torch_oracle_forward(p, x, t, y, pos, mask, dims=None):
     tt = lambda a: torch.tensor(np.asarray(a), dtype=torch.float32)
 
     def dense(name_tree, v):
-        return v @ tt(name_tree["kernel"]) + tt(name_tree["bias"])
+        k, bias = name_tree["kernel"], name_tree["bias"]
+        if np.asarray(k).ndim == 3:  # head-grouped qkv (D, 3, C): same memory
+            k = np.asarray(k).reshape(np.asarray(k).shape[0], -1)
+            bias = np.asarray(bias).reshape(-1)
+        return v @ tt(k) + tt(bias)
 
     x = tt(x)
     pos_t = tt(pos)
