@@ -17,6 +17,14 @@ Two interchangeable backends behind one functional interface:
   outputs are zeros; the reference leaves garbage there, and both are
   discarded by the loss/unpad masking).
 
+Role after round 3: the natural-layout fused family (``ops.fused_attention``)
+wins at every shape it supports (T <= 4096), so this kernel is the
+**T > 4096 escape hatch** — kept with measured numbers (v5e, b=1, XL heads
+bf16, r3): T=4608 flash 10.6 ms vs XLA 13.0 ms; T=6400 flash 18.4 ms vs XLA
+194 ms (the XLA path materializes 1.6 GB of fp32 scores). Max err vs the
+XLA oracle 2e-4 at both sizes. Arbitrary ``--image_height/width`` sampling
+(reference ``sample_lightning.py:95-96``) therefore stays open-ended.
+
 The flash kernel is forward-only Pallas; gradients flow through a
 ``jax.custom_vjp`` whose backward pass recomputes attention with exact
 einsum math (flash-style recompute — no O(T^2) residuals are saved).

@@ -771,8 +771,10 @@ def _qkv_kernel(
     #   that dominates at short T (0.69 vs 0.78 ms/layer at T=256, -12%).
     # * t > 256: per-head 2D dots — the batched form's (H, T, T) fp32 score
     #   block (64 MB at T=1024) defeats VMEM scheduling (2.30 vs 2.18 ms at
-    #   T=1024; T in (256, 1024) unmeasured, kept on the safe per-head path).
-    batched = t <= 256
+    #   T=1024). $FIT_TPU_BATCHED_T moves the crossover for probing mid-T.
+    import os
+
+    batched = t <= int(os.environ.get("FIT_TPU_BATCHED_T", "256"))
 
     def heads_batched():
         # single straight-line body: the full-length fast path is a scalar
@@ -850,8 +852,12 @@ def _qkv_kernel(
 
 def _chunk_threshold() -> int:
     """T above which the natural kernel takes the chunked online-softmax
-    grid (no (T, T) score block). 1024 on hardware; tests lower it via
-    $FIT_TPU_CHUNK_T to exercise the chunked fwd+bwd at small shapes."""
+    grid (no (T, T) score block). 1024 on hardware — measured r3 at the
+    boundary (T=1024 b=16 XL bf16): full-score branch 3.13 ms vs 2x512-chunk
+    grid 4.30 ms (+27% for chunking: the online-softmax rescale passes cost
+    more than the score block saves at this size), so 1024 stays. Tests
+    lower it via $FIT_TPU_CHUNK_T to exercise the chunked fwd+bwd at small
+    shapes."""
     import os
 
     return int(os.environ.get("FIT_TPU_CHUNK_T", "1024"))
