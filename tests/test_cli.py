@@ -38,7 +38,7 @@ def trained_ckpt(workdir):
         "--image-size", "64", "--num-classes", "2", "--epochs", "1",
         "--global-batch-size", "4", "--grad-accum", "1", "--log-every", "1",
         "--compute-dtype", "float32", "--attn-backend", "xla",
-        "--scan-blocks", "false",
+        "--scan-blocks", "false", "--allow-batch-replication", "true",
     ])
     cfg = from_args(TrainConfig, args)
     Trainer(cfg).fit(max_steps=2)

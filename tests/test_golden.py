@@ -28,7 +28,16 @@ def rebuild_params(data):
         node = tree
         for part in path[:-1]:
             node = node.setdefault(part, {})
-        node[path[-1]] = jnp.asarray(data[key])
+        arr = np.asarray(data[key])
+        # golden_v1 predates the head-grouped qkv layout; (D, 3C) -> (D, 3, C)
+        # is a pure reshape (same memory order), so the frozen values and
+        # expected outputs remain bit-valid
+        if path[-2] == "qkv":
+            if path[-1] == "kernel" and arr.ndim == 2:
+                arr = arr.reshape(arr.shape[0], 3, -1)
+            elif path[-1] == "bias" and arr.ndim == 1:
+                arr = arr.reshape(3, -1)
+        node[path[-1]] = jnp.asarray(arr)
     return tree
 
 
