@@ -771,7 +771,10 @@ def _qkv_kernel(
     #   that dominates at short T (0.69 vs 0.78 ms/layer at T=256, -12%).
     # * t > 256: per-head 2D dots — the batched form's (H, T, T) fp32 score
     #   block (64 MB at T=1024) defeats VMEM scheduling (2.30 vs 2.18 ms at
-    #   T=1024). $FIT_TPU_BATCHED_T moves the crossover for probing mid-T.
+    #   T=1024). Mid-T probed r3 (b=16 XL, per-head vs batched ms/call):
+    #   T=512 2.17/2.24, T=576 2.12/2.02, T=768 2.21/2.05 — non-monotonic
+    #   and within +-7%, so the gate stays at the r2-measured 256 boundary.
+    #   $FIT_TPU_BATCHED_T moves the crossover for probing.
     import os
 
     batched = t <= int(os.environ.get("FIT_TPU_BATCHED_T", "256"))
