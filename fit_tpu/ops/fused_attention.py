@@ -22,13 +22,26 @@ Design notes (TPU-first):
 * The validity mask enters as per-sequence lengths (FiT masks are prefix
   masks by construction) and masks key columns with -inf, matching the
   reference's key-only masking semantics (``fit.py:184-185``).
-* Forward-only Pallas; gradients recompute via exact XLA einsum math
-  (flash-style: no O(T^2) residuals are saved).
+* Gradients are Pallas too at the shapes where that wins (flash-style
+  recompute, no O(T^2) residuals): per-head full-score backward for
+  256 <= T <= 1024, K-chunked backward (probabilities rebuilt from the
+  forward's saved log2-sum-exp) for 1024 < T <= 2304; exact-XLA-einsum
+  fallback elsewhere. All gates carry v5e measurements.
 
-Shapes: q, k, v, out are (B, T, H, d) — the layout-preserving convention of
-``fit_tpu.models.layers.SelfAttention`` (no head transpose anywhere).
-Supported when T*T fp32 scores fit VMEM alongside a head (T <= 1024 for
-d = 64); longer sequences use the blocked kernel in ``ops.attention``.
+Two kernel families share the math:
+
+* the SPLIT family (``rope_flash_attention``): q, k, v, out are (B, T, H, d)
+  — the layout-preserving convention of ``models.layers.SelfAttention``.
+* the NATURAL family (``qkv_rope_flash_attention``): consumes the raw
+  (B, T, 3, C) qkv projection output with per-head extraction in VMEM
+  (zero XLA relayout copies), full-score to T=1024, K-chunked online
+  softmax to T=2304, K+Q-chunked 3D grid to T=4096; beyond that the
+  blocked kernel in ``ops.attention`` takes over.
+
+Both families carry GSPMD partitioning contracts (``_shard_over_batch`` /
+``_shard_batch_model``) so sharded jits run them per-shard — batch split
+over 'data', head groups split over 'model' — instead of the partitioner's
+default replicate-the-custom-call.
 """
 
 from __future__ import annotations
@@ -55,6 +68,25 @@ __all__ = [
 
 NEG_INF = float("-inf")
 LOG2_E = 1.4426950408889634  # log2(e): softmax via exp2 (VPU-native)
+
+
+def _use_partition_contract() -> bool:
+    """Route kernel calls through the custom_partitioning wrappers only when
+    partitioning is possible at all. The wrapper is a call boundary XLA does
+    not fuse across — measured r3 on the single-chip 256^2 bench as ~11 ms
+    of extra batch-scaling HBM copies per step (111.8 vs 100.5 ms at B=32) —
+    so single-device processes take the raw pallas path. Multi-device
+    processes keep the contract: without it the partitioner REPLICATES the
+    opaque custom call (full-batch all-gathers), which costs ~dp x.
+    Override with $FIT_TPU_KERNEL_PARTITION = always | never | auto."""
+    import os
+
+    v = os.environ.get("FIT_TPU_KERNEL_PARTITION", "auto")
+    if v in ("0", "never"):
+        return False
+    if v in ("1", "always"):
+        return True
+    return jax.device_count() > 1
 
 
 def _shard_over_batch(fn, static_argnums, rule):
@@ -615,7 +647,8 @@ def _forward_bthd(q, k, v, cos, sin, lengths, scale):
         out = _forward_direct(q, k, v, cos, sin, lengths, scale)
         return out.transpose(0, 2, 1, 3)
     qh, kh, vh = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
-    out = _forward_p(qh, kh, vh, cos, sin, lengths, scale)
+    fwd = _forward_p if _use_partition_contract() else _forward
+    out = fwd(qh, kh, vh, cos, sin, lengths, scale)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -684,7 +717,8 @@ def _bwd(scale, res, g):
     t = q.shape[1]
     if _use_pallas_bwd(t):
         qh, kh, vh, gh = (a.transpose(0, 2, 1, 3) for a in (q, k, v, g))
-        dq, dk, dv = _backward_p(qh, kh, vh, gh, cos, sin, lengths, scale)
+        bwd = _backward_p if _use_partition_contract() else _backward
+        dq, dk, dv = bwd(qh, kh, vh, gh, cos, sin, lengths, scale)
         return (
             dq.transpose(0, 2, 1, 3),
             dk.transpose(0, 2, 1, 3),
@@ -1413,7 +1447,8 @@ _qkv_backward_chunked_p = _shard_batch_model(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _qkv_rope_core(qkv3, cos, sin, lengths, scale, head_dim):
-    return _qkv_forward_p(qkv3, cos, sin, lengths, scale, head_dim)
+    fwd = _qkv_forward_p if _use_partition_contract() else _qkv_forward
+    return fwd(qkv3, cos, sin, lengths, scale, head_dim)
 
 
 def qkv_rope_flash_attention(qkv, cos, sin, lengths, scale, num_heads):
@@ -1447,15 +1482,20 @@ def _qkv_fwd(qkv3, cos, sin, lengths, scale, head_dim):
     t = qkv3.shape[1]
     if t > _chunk_threshold() and not _chunked_bwd_supported(t):
         # T too large for the Pallas backward: plain forward, XLA-bwd route
-        out = _qkv_forward_p(qkv3, cos, sin, lengths, scale, head_dim)
+        fwd = _qkv_forward_p if _use_partition_contract() else _qkv_forward
+        out = fwd(qkv3, cos, sin, lengths, scale, head_dim)
         return out, (qkv3, cos, sin, lengths)
     if t > _chunk_threshold():
         # chunked regime: save the forward output (free — it IS the primal
         # result) + the per-row log2-sum-exp so the backward recomputes
         # probabilities chunk-by-chunk with no second online pass
-        out, lse = _qkv_forward_lse_p(qkv3, cos, sin, lengths, scale, head_dim, True)
+        fwd_lse = (
+            _qkv_forward_lse_p if _use_partition_contract() else _qkv_forward_chunked
+        )
+        out, lse = fwd_lse(qkv3, cos, sin, lengths, scale, head_dim, True)
         return out, (qkv3, cos, sin, lengths, out, lse)
-    out = _qkv_forward_p(qkv3, cos, sin, lengths, scale, head_dim)
+    fwd = _qkv_forward_p if _use_partition_contract() else _qkv_forward
+    out = fwd(qkv3, cos, sin, lengths, scale, head_dim)
     return out, (qkv3, cos, sin, lengths)
 
 
@@ -1467,14 +1507,17 @@ def _qkv_bwd(scale, head_dim, res, g):
         if os.environ.get("FIT_TPU_PALLAS_BWD", "auto") == "never":
             dqkv = _qkv_xla_bwd(qkv3, g, cos, sin, lengths, scale, head_dim)
         else:
-            dqkv = _qkv_backward_chunked_p(
-                qkv3, g, out, lse, cos, sin, lengths, scale, head_dim
+            bwd_c = (
+                _qkv_backward_chunked_p if _use_partition_contract()
+                else _qkv_backward_chunked
             )
+            dqkv = bwd_c(qkv3, g, out, lse, cos, sin, lengths, scale, head_dim)
         return dqkv, None, None, None
     qkv3, cos, sin, lengths = res
     t = qkv3.shape[1]
     if _use_pallas_bwd(t):
-        dqkv = _qkv_backward_p(qkv3, g, cos, sin, lengths, scale, head_dim)
+        bwd = _qkv_backward_p if _use_partition_contract() else _qkv_backward
+        dqkv = bwd(qkv3, g, cos, sin, lengths, scale, head_dim)
     else:
         dqkv = _qkv_xla_bwd(qkv3, g, cos, sin, lengths, scale, head_dim)
     return dqkv, None, None, None
