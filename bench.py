@@ -223,6 +223,9 @@ def main():
                     help="train-mode sequence length (1024 = 512^2 budget, "
                     "2304 = 768^2 budget via VisionNTK)")
     ap.add_argument("--train-accum", type=int, default=2)
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="extrapolate-mode canvas (default 512; 768 -> T=2304, "
+                    "1024 -> T=4096 on the K+Q-chunked grid)")
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--baseline-steps", type=int, default=25)
     ap.add_argument("--skip-baseline", action="store_true")
@@ -237,12 +240,18 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if args.sweep_batch is None:
         args.sweep_batch = on_tpu
-    size = 512 if args.mode == "extrapolate" else 256
+    size = (args.image_size or 512) if args.mode == "extrapolate" else 256
     if not on_tpu:  # smoke mode
         args.model, args.batch, args.steps, args.baseline_steps = "FiT-S/2", 2, 4, 4
         size = 128 if args.mode == "extrapolate" else 256
     if args.mode == "extrapolate":
         args.steps = min(args.steps, 50)  # T=1024 steps are ~3x slower
+        if size >= 768:
+            # T=2304/4096 steps cost seconds; keep the wall time sane and
+            # the batch within the chunked grid's VMEM envelope
+            args.steps = min(args.steps, 10)
+            args.sweep_batch = False
+            args.batch = args.batch or (4 if size < 1024 else 1)
 
     if args.mode == "train":
         model_name = "FiT-B/2" if args.model == "FiT-XL/2" else args.model
