@@ -74,15 +74,27 @@ def roofline_report(model, params, batch, size, step_lat_s):
     The denoise step runs the CFG-duplicated forward (2 x batch) at the
     canvas token count. Bounds are ideal times at peak rates: they anchor
     what any implementation could achieve (a step can never run faster than
-    max(dense+attn+rope compute, parameter reads))."""
-    from fit_tpu.utils.flops import fit_forward_flops, peak_flops, peak_hbm_bw
+    max(dense+attn+rope compute, parameter reads)). The attention bound
+    includes the d/128 MXU lane efficiency of per-head-width dots and a VPU
+    term for the online softmax — without both, large-T steps misreport
+    physics as "overhead" (round 3)."""
+    from fit_tpu.utils.flops import (
+        attention_mxu_efficiency,
+        fit_forward_flops,
+        peak_flops,
+        peak_hbm_bw,
+        peak_vpu_flops,
+        softmax_vpu_ops,
+    )
 
     t_tokens = max((size // 8 // model.patch_size) ** 2, 256)
     fl = fit_forward_flops(
         model.hidden_size, model.depth, model.num_heads, t=t_tokens, batch=2 * batch
     )
+    head_dim = model.hidden_size // model.num_heads
     peak = peak_flops()
     bw = peak_hbm_bw()
+    vpu = peak_vpu_flops()
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree.leaves(params) if hasattr(x, "shape")
     )
@@ -92,14 +104,21 @@ def roofline_report(model, params, batch, size, step_lat_s):
         "measured_step_ms": round(step_lat_s * 1e3, 3),
     }
     if peak:
+        attn_eff = attention_mxu_efficiency(head_dim)
         ideal = {
             "dense_matmul_ms": fl.dense / peak * 1e3,
-            "attention_ms": fl.attention / peak * 1e3,
-            "rope_ms": fl.rope / peak * 1e3,
+            "attention_ms": fl.attention / (peak * attn_eff) * 1e3,
+            "rope_ms": fl.rope / (peak * attn_eff) * 1e3,
             "cond_ms": fl.cond / peak * 1e3,
         }
+        if vpu:
+            ideal["softmax_vpu_ms"] = (
+                softmax_vpu_ops(model.depth, model.num_heads, t_tokens, 2 * batch)
+                / vpu * 1e3
+            )
         compute_ms = sum(ideal.values())
         report.update({k: round(v, 3) for k, v in ideal.items()})
+        report["attention_mxu_eff"] = attn_eff
         report["mfu"] = round(fl.total / step_lat_s / peak, 4)
         report["compute_bound_ms"] = round(compute_ms, 3)
         report["overhead_ms"] = round(step_lat_s * 1e3 - compute_ms, 3)
@@ -168,16 +187,28 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
 
     Convention: model FLOPs = 3x forward (forward + 2x backward matmuls,
     the PaLM MFU accounting); remat recompute is hardware work but not
-    model work, so it appears as a separate utilization entry."""
-    from fit_tpu.utils.flops import fit_forward_flops, peak_flops, peak_hbm_bw
+    model work, so it appears as a separate utilization entry. As in the
+    sampling roofline, the attention bound carries the d/128 MXU lane
+    efficiency and a VPU softmax term (~3x forward's: the bwd recomputes
+    p and walks the score set for dS)."""
+    from fit_tpu.utils.flops import (
+        attention_mxu_efficiency,
+        fit_forward_flops,
+        peak_flops,
+        peak_hbm_bw,
+        peak_vpu_flops,
+        softmax_vpu_ops,
+    )
 
     fwd = fit_forward_flops(
         model.hidden_size, model.depth, model.num_heads, t=t_tokens, batch=batch
     )
     fl = fwd.scaled(3.0)
     hw = fwd.scaled(4.0 if remat else 3.0)  # remat replays the forward
+    head_dim = model.hidden_size // model.num_heads
     peak = peak_flops()
     bw = peak_hbm_bw()
+    vpu = peak_vpu_flops()
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree.leaves(params) if hasattr(x, "shape")
     )
@@ -187,13 +218,22 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
         "measured_step_ms": round(step_lat_s * 1e3, 3),
     }
     if peak:
+        attn_eff = attention_mxu_efficiency(head_dim)
         ideal = {
             "dense_matmul_ms": fl.dense / peak * 1e3,
-            "attention_ms": fl.attention / peak * 1e3,
-            "rope_ms": fl.rope / peak * 1e3,
+            "attention_ms": fl.attention / (peak * attn_eff) * 1e3,
+            "rope_ms": fl.rope / (peak * attn_eff) * 1e3,
             "cond_ms": fl.cond / peak * 1e3,
         }
+        if vpu:
+            ideal["softmax_vpu_ms"] = (
+                softmax_vpu_ops(
+                    model.depth, model.num_heads, t_tokens, batch, backward=True
+                )
+                / vpu * 1e3
+            )
         report.update({k: round(v, 3) for k, v in ideal.items()})
+        report["attention_mxu_eff"] = attn_eff
         report["mfu"] = round(fl.total / step_lat_s / peak, 4)
         report["hw_util_incl_remat"] = round(hw.total / step_lat_s / peak, 4)
         report["compute_bound_ms"] = round(sum(ideal.values()), 3)

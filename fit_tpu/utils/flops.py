@@ -8,6 +8,20 @@ are anchored to hardware limits instead of guesses (VERDICT round-1 item 1).
 Counting convention: 1 multiply-add = 2 FLOPs; only matmul terms are counted
 (elementwise/norm work is bandwidth-, not FLOP-limited, and XLA fuses it into
 the adjacent matmuls).
+
+Two *hardware* corrections make the attention bound honest at large T
+(round-3: the raw-MXU-peak bound made big-canvas steps look ~60% "overhead"
+when most of that time is physics):
+
+* **MXU lane efficiency** — both attention dots contract or produce the
+  per-head width ``d`` (q@k^T contracts d; softmax@v emits d columns). The
+  128x128 systolic array pads those 64/72-wide tiles to 128 lanes, so the
+  dots run at at most ``d/128`` of peak (:func:`attention_mxu_efficiency`).
+* **Softmax VPU time** — the online softmax performs ~8 vector ops per
+  score element (mask add, running max, subtract, exp2 [multi-pass on the
+  VPU], z-accumulate, two rescale multiplies). At T=2304+ the (T, T) score
+  set makes this VPU term the same order as the attention matmuls. The VPU
+  peak is the third column of ``_PEAKS`` (8x128 lanes x 4 ALUs x clock).
 """
 
 from __future__ import annotations
@@ -15,7 +29,15 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-__all__ = ["FitFlops", "fit_forward_flops", "peak_flops", "peak_hbm_bw"]
+__all__ = [
+    "FitFlops",
+    "fit_forward_flops",
+    "peak_flops",
+    "peak_hbm_bw",
+    "peak_vpu_flops",
+    "attention_mxu_efficiency",
+    "softmax_vpu_ops",
+]
 
 
 @dataclasses.dataclass
@@ -75,15 +97,41 @@ def fit_forward_flops(
     return FitFlops(dense, attention, rope, cond, total).scaled(batch)
 
 
-# bf16 matmul peak (FLOP/s) and HBM bandwidth (byte/s) by device kind
+def attention_mxu_efficiency(head_dim: int) -> float:
+    """Fraction of MXU peak the attention dots can reach at per-head width
+    ``head_dim``: the systolic array is 128x128, so a dot whose contracting
+    (q@k^T) or emitting (p@v) dimension is d < 128 pads to 128 lanes and
+    runs at d/128 of peak. 1.0 for d >= 128 (FiT heads are 64/72-wide)."""
+    return min(1.0, head_dim / 128.0)
+
+
+# vector ops per masked-online-softmax score element (forward): mask add,
+# running-max compare, subtract, exp2 (costed as multiple VPU passes),
+# z-accumulate, acc rescale + p cast. Calibrate-able, not exact — the point
+# is the ORDER: at T >= 2304 this term rivals the attention matmul time.
+SOFTMAX_VPU_OPS_PER_SCORE = 8.0
+
+
+def softmax_vpu_ops(
+    depth: int, num_heads: int, t: int, batch: int = 1, backward: bool = False
+) -> float:
+    """VPU op count for the attention softmax over (batch, H, T, T) scores.
+    ``backward`` ~triples it: the bwd recomputes p = exp2(s - lse) and walks
+    the score set twice more for dS = p * (dP - delta)."""
+    ops = SOFTMAX_VPU_OPS_PER_SCORE * depth * batch * num_heads * t * t
+    return ops * 3.0 if backward else ops
+
+
+# bf16 matmul peak (FLOP/s), HBM bandwidth (byte/s), and VPU vector peak
+# (op/s: 8x128 lanes x 4 ALUs x clock) by device kind
 _PEAKS = {
-    "TPU v5 lite": (197e12, 819e9),
-    "TPU v5e": (197e12, 819e9),
-    "TPU v5": (459e12, 1228e9),  # v5p
-    "TPU v5p": (459e12, 2765e9),
-    "TPU v4": (275e12, 1228e9),
-    "TPU v6 lite": (918e12, 1640e9),  # trillium
-    "TPU v6e": (918e12, 1640e9),
+    "TPU v5 lite": (197e12, 819e9, 3.9e12),
+    "TPU v5e": (197e12, 819e9, 3.9e12),
+    "TPU v5": (459e12, 1228e9, 7.5e12),  # v5p
+    "TPU v5p": (459e12, 2765e9, 7.5e12),
+    "TPU v4": (275e12, 1228e9, 4.3e12),
+    "TPU v6 lite": (918e12, 1640e9, 7.4e12),  # trillium
+    "TPU v6e": (918e12, 1640e9, 7.4e12),
 }
 
 
@@ -114,3 +162,10 @@ def peak_hbm_bw(device_kind: Optional[str] = None) -> Optional[float]:
     kind = device_kind if device_kind is not None else _device_kind()
     hit = _PEAKS.get(kind)
     return hit[1] if hit else None
+
+
+def peak_vpu_flops(device_kind: Optional[str] = None) -> Optional[float]:
+    """VPU vector-op peak (op/s); None when unknown."""
+    kind = device_kind if device_kind is not None else _device_kind()
+    hit = _PEAKS.get(kind)
+    return hit[2] if hit else None
