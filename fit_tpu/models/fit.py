@@ -122,7 +122,17 @@ class FiT(nn.Module):
     pos_kind: str = "rotate"  # "rotate" | "absolute"
     attn_backend: str = "auto"
     dtype: Any = jnp.float32
-    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+    # Rematerialization (trade FLOPs for HBM). False | True | "dots":
+    #   True  — full-block remat: save only block boundaries, replay the
+    #           whole forward in the backward (~+1 fwd of hardware work).
+    #   "dots" — selective: save matmul outputs, replay only elementwise
+    #           (jax.checkpoint_policies.dots_with_no_batch_dims_saveable).
+    # Measured (FiT-B/2, T=2304, batch 32, v5e, r3): full remat WINS —
+    # 862/856 ms/step at accum 2/4 vs 870/873 ms "dots" vs 899 ms no-remat
+    # (accum 4; accum 2 OOMs). Saving residuals costs more HBM traffic than
+    # the replay costs MXU time on this bandwidth-bound chip, so True is the
+    # right training default at every measured T.
+    remat: Any = False
     # scan-over-layers: one compiled block body + stacked (depth, ...) params
     # instead of `depth` unrolled copies. Same math; ~depth x smaller HLO and
     # compile time (minutes -> seconds for XL/2 on remote-compile backends).
@@ -201,7 +211,15 @@ class FiT(nn.Module):
             attn_backend=self.attn_backend,
             dtype=self.dtype,
         )
-        block_cls = nn.remat(FiTBlock) if self.remat else FiTBlock
+        if self.remat == "dots":
+            block_cls = nn.remat(
+                FiTBlock,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif self.remat:
+            block_cls = nn.remat(FiTBlock)
+        else:
+            block_cls = FiTBlock
         if self.scan_blocks:
             scan_cls = nn.scan(
                 _ScanBlockBody,
