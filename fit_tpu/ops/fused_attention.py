@@ -1089,7 +1089,14 @@ def _qkv_forward_chunked(qkv3, cos, sin, lengths, scale, head_dim, with_lse):
         ),
         out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # The q-chunk dim is truly parallel: scratch state (m, z, acc)
+            # resets at kj == 0 and flushes at kj == n-1, so each q-chunk's
+            # key loop is self-contained. Declaring it "parallel" lets
+            # Mosaic stream the per-q-chunk output DMAs instead of
+            # serializing on a possible revisit — measured r3 on v5e at
+            # T=4096 (B=2 XL): 12.25 -> 4.94 ms/layer (2.5x), bit-identical.
+            # At T <= 2304 cq == t (n_q == 1), where this is a no-op.
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=(110 << 20),
         ),
         interpret=jax.default_backend() != "tpu",
