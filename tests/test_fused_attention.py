@@ -305,6 +305,19 @@ def test_qkv_q_chunked_forward_and_gradients(monkeypatch):
     _chunked_grad_case(2, 256, 2, 8, lengths=(256, 200))
 
 
+def test_qkv_two_pass_chunked_gradients(monkeypatch):
+    """t above the single-pass backward's VMEM ceiling routes to the
+    TWO-PASS fully-chunked backward (dq pass + [dk|dv] pass, no full-T
+    block — the r3 T=4096 training unlock). Lowered gates force it at
+    test-size shapes: t=256, 4 chunks of 64, with a padded row."""
+    monkeypatch.setenv("FIT_TPU_CHUNK_T", "64")
+    monkeypatch.setenv("FIT_TPU_QCHUNK_T", "128")
+    monkeypatch.setenv("FIT_TPU_SINGLE_BWD_T", "64")
+    _chunked_grad_case(2, 256, 2, 8, lengths=(256, 200))
+    # chunk-boundary masking: a length leaving the final chunk fully dead
+    _chunked_grad_case(2, 256, 2, 8, lengths=(128, 65))
+
+
 def test_chunk_picker_and_degenerate_t_gate():
     """_pick_chunk bounds the chunk floor (a prime T in the chunked range
     would degenerate to 1-row chunks — advisor finding r2); fused_supported
