@@ -42,13 +42,13 @@ Array = jnp.ndarray
 
 # Largest T routed to the fused natural-layout kernel family; larger T
 # falls back to the blocked ops.attention kernel. Inference/sampling: 4096
-# (1024x1024 — K+Q-chunked grid verified on v5e r3: 7.1-7.5 ms/row at XL,
-# err 2e-4, both mask branches). Training: 2304 (the chunked Pallas
-# BACKWARD's verified ceiling; T=4096 grads fail in the Mosaic compiler and
-# would fall to a score-materializing XLA backward — route them to the
-# blocked kernel instead).
+# (1024x1024 — K+Q-chunked grid verified on v5e r3: 5.1 ms/row at XL with
+# the parallel q-chunk grid, err 2e-4, both mask branches). Training: also
+# 4096 since the r3 TWO-PASS chunked backward (no full-T VMEM block) —
+# verified grads on v5e at T=4096, err 7.8e-3 vs the fp32 oracle; the
+# single-pass kernel still serves 1024 < T <= 2304.
 _FUSED_MAX_T_EVAL = 4096
-_FUSED_MAX_T_TRAIN = 2304
+_FUSED_MAX_T_TRAIN = 4096
 
 __all__ = [
     "FiT",
