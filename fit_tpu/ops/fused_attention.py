@@ -1361,8 +1361,11 @@ def _qkv_backward_chunked(qkv3, g, out, lse, cos, sin, lengths, scale, head_dim)
 def _single_pass_bwd_max_t() -> int:
     """Largest T routed to the single-pass chunked backward. 2304 holds
     five full-T blocks (~60 MB at XL) — the verified VMEM ceiling; the
-    two-pass kernels take over above. $FIT_TPU_SINGLE_BWD_T lowers it to
-    exercise the two-pass path at test sizes."""
+    two-pass kernels take over above. Measured at the boundary (v5e,
+    T=2304 B=2 XL, full fwd+bwd vjp): single-pass 4.64 ms vs two-pass
+    6.14 ms — the extra score recompute costs ~32%, so the single pass
+    stays preferred wherever it fits. $FIT_TPU_SINGLE_BWD_T lowers the
+    gate to exercise the two-pass path at test sizes."""
     return int(os.environ.get("FIT_TPU_SINGLE_BWD_T", "2304"))
 
 
