@@ -95,18 +95,22 @@ def roofline_report(model, params, batch, size, step_lat_s):
     peak = peak_flops()
     bw = peak_hbm_bw()
     vpu = peak_vpu_flops()
-    n_params = sum(
-        int(np.prod(x.shape)) for x in jax.tree.leaves(params) if hasattr(x, "shape")
-    )
+    # int8 serving path: the per-block projections (exactly fl.dense) run
+    # at the MXU's 2x int8 rate; MFU is quoted against the FLOP-weighted
+    # mixed peak so 1.0 still means "speed of light for this recipe"
+    int8_dense = getattr(model, "quant", "none") == "int8"
+    dense_rate = 2.0 if int8_dense else 1.0
     report = {
         "seq_tokens": t_tokens,
         "forward_tflops": round(fl.total / 1e12, 3),
         "measured_step_ms": round(step_lat_s * 1e3, 3),
     }
+    if int8_dense:
+        report["int8_dense"] = True
     if peak:
         attn_eff = attention_mxu_efficiency(head_dim)
         ideal = {
-            "dense_matmul_ms": fl.dense / peak * 1e3,
+            "dense_matmul_ms": fl.dense / (peak * dense_rate) * 1e3,
             "attention_ms": fl.attention / (peak * attn_eff) * 1e3,
             "rope_ms": fl.rope / (peak * attn_eff) * 1e3,
             "cond_ms": fl.cond / peak * 1e3,
@@ -119,12 +123,24 @@ def roofline_report(model, params, batch, size, step_lat_s):
         compute_ms = sum(ideal.values())
         report.update({k: round(v, 3) for k, v in ideal.items()})
         report["attention_mxu_eff"] = attn_eff
-        report["mfu"] = round(fl.total / step_lat_s / peak, 4)
+        mixed_peak = fl.total / (
+            fl.dense / (peak * dense_rate)
+            + (fl.attention + fl.rope + fl.cond) / peak
+        )
+        report["mfu"] = round(fl.total / step_lat_s / mixed_peak, 4)
         report["compute_bound_ms"] = round(compute_ms, 3)
         report["overhead_ms"] = round(step_lat_s * 1e3 - compute_ms, 3)
     if bw:
-        # every step reads all params once (bf16); activations are small
-        report["param_read_ms"] = round(n_params * 2 / bw * 1e3, 3)
+        # every step reads all params once at their served width: floats
+        # are cast to bf16 by the sampler (2 bytes), int8 kernels stay 1
+        param_bytes = sum(
+            int(np.prod(x.shape))
+            * (2 if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.dtype(x.dtype).itemsize)
+            for x in jax.tree.leaves(params)
+            if hasattr(x, "shape")
+        )
+        report["param_read_ms"] = round(param_bytes / bw * 1e3, 3)
     return report
 
 
@@ -268,6 +284,10 @@ def main():
                     "1024 -> T=4096 on the K+Q-chunked grid)")
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--baseline-steps", type=int, default=25)
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="int8 = w8a8 quantized serving path for the dense "
+                    "projections (2x MXU rate on v5e; reports latent drift "
+                    "vs bf16 alongside throughput)")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument(
         "--sweep-batch", action=argparse.BooleanOptionalAction, default=None,
@@ -321,6 +341,86 @@ def main():
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
 
+    quant_drift = None
+    if args.quant == "int8":
+        # w8a8 int8 serving path (ops.quant): measure latent drift vs the
+        # bf16 path FIRST (one same-seed batch), then swap in the quant
+        # model for the throughput runs. Drift needs weight MASS: a fresh
+        # init has zero adaLN gates (every block is identity, quantized
+        # projections can't reach the output), so rebuild the tree with
+        # small random leaves — a proxy for a trained checkpoint, which is
+        # what --quant should really be validated on (scripts/
+        # validate_real_weights.sh).
+        from fit_tpu.ops.quant import quantize_model
+        from fit_tpu.sampling import FiTSampler
+
+        leaves, td = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(11), len(leaves))
+        drift_params = jax.tree.unflatten(
+            td,
+            [0.04 * jax.random.normal(k, l.shape, jnp.float32).astype(l.dtype)
+             for k, l in zip(keys, leaves)],
+        )
+        drift_steps = min(args.steps, 50)
+        s16 = FiTSampler(model, num_sampling_steps=drift_steps, cfg_scale=1.5,
+                         sampler="ddpm")
+        ref_lat = np.asarray(
+            s16.sample(drift_params, list(range(4)), jax.random.PRNGKey(7),
+                       size, size),
+            np.float32,
+        )
+        qmodel, qdrift_params = quantize_model(model, drift_params)
+        s8 = FiTSampler(qmodel, num_sampling_steps=drift_steps, cfg_scale=1.5,
+                        sampler="ddpm")
+        q_lat = np.asarray(
+            s8.sample(qdrift_params, list(range(4)), jax.random.PRNGKey(7),
+                      size, size),
+            np.float32,
+        )
+        ref_rms = float(np.sqrt(np.mean(ref_lat ** 2)))
+        rms_err = float(np.sqrt(np.mean((q_lat - ref_lat) ** 2)))
+
+        # single-forward eps drift: the per-call error of the int8 path.
+        # The iterated latent drift above compounds it through `drift_steps`
+        # applications of an (untrained, hence chaotic) map — treat that one
+        # as an upper bound, this one as the per-call truth.
+        from fit_tpu.core.pos_embed import rope_freqs_2d
+
+        grid = size // 8 // model.patch_size
+        t_tokens = grid * grid
+        head_dim = model.hidden_size // model.num_heads
+        patch_dim = model.patch_size**2 * model.in_channels
+        key = jax.random.PRNGKey(13)
+        toks = jax.random.normal(key, (4, t_tokens, patch_dim), jnp.float32)
+        pos = jnp.broadcast_to(
+            rope_freqs_2d(head_dim, grid, grid), (4, t_tokens, head_dim)
+        )
+        msk = jnp.ones((4, t_tokens), bool)
+        tt = jnp.asarray([100, 400, 700, 950])
+        yy = jnp.asarray([1, 2, 3, 4])
+        drop_rng = {"label_dropout": jax.random.PRNGKey(5)}  # same on both
+        # jit the single forwards: an eager XL/2 apply is thousands of
+        # per-op dispatches on remote-compile transports
+        f16 = jax.jit(lambda p: model.apply(
+            p, toks, tt, yy, pos, msk, train=True, rngs=drop_rng))
+        f8 = jax.jit(lambda p: qmodel.apply(
+            p, toks, tt, yy, pos, msk, train=True, rngs=drop_rng))
+        eps16 = np.asarray(f16(drift_params), np.float32)
+        eps8 = np.asarray(f8(qdrift_params), np.float32)
+        eps_rms = float(np.sqrt(np.mean(eps16 ** 2)))
+        eps_err = float(np.sqrt(np.mean((eps8 - eps16) ** 2)))
+
+        quant_drift = {
+            "drift_steps": drift_steps,
+            "eps_rel_rms_err": round(eps_err / max(eps_rms, 1e-12), 4),
+            "latent_max_abs_err": round(float(np.abs(q_lat - ref_lat).max()), 4),
+            "latent_rms_err": round(rms_err, 4),
+            "latent_rel_rms_err": round(rms_err / max(ref_rms, 1e-12), 4),
+            "latent_ref_max_abs": round(float(np.abs(ref_lat).max()), 4),
+            "latent_ref_rms": round(ref_rms, 4),
+        }
+        model, params = quantize_model(model, params)
+
     if args.sweep_batch and on_tpu:
         batches = [8, 16, 32]
         if args.batch and args.batch not in batches:
@@ -366,8 +466,10 @@ def main():
     imgs_per_sec, step_lat = pick["img_s"], pick["step_lat"]
     vs_baseline = pick.get("vs_baseline", 1.0)
 
+    metric_tag = " int8" if args.quant == "int8" else ""
     out = {
-        "metric": f"images/sec/chip {args.model} {size}x{size} {args.steps}-step DDPM cfg",
+        "metric": f"images/sec/chip {args.model} {size}x{size} "
+                  f"{args.steps}-step DDPM cfg{metric_tag}",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s/chip",
         "vs_baseline": round(vs_baseline, 4),
@@ -380,6 +482,8 @@ def main():
     out["roofline"] = roofline_report(model, params, args.batch, size, step_lat)
     if "mfu" in out["roofline"]:
         out["mfu"] = out["roofline"]["mfu"]
+    if quant_drift is not None:
+        out["quant_drift"] = quant_drift
     if len(sweep) > 1:
         out["batch_sweep"] = [
             {k: (round(v, 4) if isinstance(v, float) else v) for k, v in e.items()}

@@ -52,6 +52,10 @@ def main():
     parser.add_argument("--torch-checkpoint", type=str, default=None,
                         help="sample directly from a reference (torch) FiT "
                              "checkpoint instead of an Orbax directory")
+    parser.add_argument("--quant", choices=["none", "int8"], default="none",
+                        help="int8 = w8a8 quantized serving path for the "
+                             "per-block projections (2x MXU rate on v5e; "
+                             "see fit_tpu.ops.quant)")
     add_dataclass_args(parser, SampleConfig)
     args = parser.parse_args()
 
@@ -108,6 +112,12 @@ def main():
             raise FileNotFoundError(f"no checkpoint under {cfg.checkpoint_path}")
         params = state.ema_params if cfg.use_ema else state.params
         print(f"Model loaded successfully (step {int(state.step)}, ema={cfg.use_ema})")
+
+    if args.quant == "int8":
+        from fit_tpu.ops.quant import quantize_model
+
+        model, params = quantize_model(model, params)
+        print("Quantized dense projections to int8 (w8a8 serving path)")
 
     vae = vae_params = None
     if args.vae_checkpoint:

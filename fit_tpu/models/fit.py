@@ -121,6 +121,10 @@ class FiT(nn.Module):
     ffn: str = "swiglu"
     pos_kind: str = "rotate"  # "rotate" | "absolute"
     attn_backend: str = "auto"
+    # "none" | "int8": w8a8 dynamic int8 on the per-block projections (the
+    # SAMPLING-only serving path; 2x MXU rate on v5e — see ops.quant).
+    # Params come from ops.quant.quantize_params, never from init/training.
+    quant: str = "none"
     dtype: Any = jnp.float32
     # Rematerialization (trade FLOPs for HBM). False | True | "dots":
     #   True  — full-block remat: save only block boundaries, replay the
@@ -210,6 +214,7 @@ class FiT(nn.Module):
             use_rope=self.pos_kind == "rotate",
             attn_backend=self.attn_backend,
             dtype=self.dtype,
+            quant=self.quant,
         )
         if self.remat == "dots":
             block_cls = nn.remat(

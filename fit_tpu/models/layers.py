@@ -165,25 +165,30 @@ class LabelEmbedder(nn.Module):
         return table(labels)
 
 
+def _dense(features: int, dtype: Dtype, name: str, quant: str = "none"):
+    """nn.Dense, or its int8 drop-in on the quantized sampling path
+    (ops.quant: w8a8 dynamic, 2x MXU rate on v5e)."""
+    if quant == "int8":
+        from fit_tpu.ops.quant import Int8Dense
+
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, kernel_init=default_kernel_init, dtype=dtype, name=name)
+
+
 class SwiGLU(nn.Module):
     """LLaMA-style gated FFN: ``fc2(silu(fc1_g(x)) * fc1_x(x))``."""
 
     hidden_features: int
     out_features: int
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        gate = nn.Dense(
-            self.hidden_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc1_g"
-        )(x)
-        val = nn.Dense(
-            self.hidden_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc1_x"
-        )(x)
+        gate = _dense(self.hidden_features, self.dtype, "fc1_g", self.quant)(x)
+        val = _dense(self.hidden_features, self.dtype, "fc1_x", self.quant)(x)
         x = nn.silu(gate) * val
-        return nn.Dense(
-            self.out_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc2"
-        )(x)
+        return _dense(self.out_features, self.dtype, "fc2", self.quant)(x)
 
 
 class GeluMlp(nn.Module):
@@ -194,16 +199,13 @@ class GeluMlp(nn.Module):
     hidden_features: int
     out_features: int
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(
-            self.hidden_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc1"
-        )(x)
+        x = _dense(self.hidden_features, self.dtype, "fc1", self.quant)(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(
-            self.out_features, kernel_init=default_kernel_init, dtype=self.dtype, name="fc2"
-        )(x)
+        return _dense(self.out_features, self.dtype, "fc2", self.quant)(x)
 
 
 def _qkv_grouped_init(key, shape, dtype=jnp.float32):
@@ -234,10 +236,33 @@ class QKVProject(nn.Module):
 
     dim: int
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array, grouped: bool):
         d_in = x.shape[-1]
+        if self.quant == "int8":
+            # offline-quantized storage (ops.quant.quantize_params): int8
+            # kernel in the same grouped layout + per-output-channel scale
+            from fit_tpu.ops.quant import int8_matmul
+
+            kernel = self.param(
+                "kernel",
+                lambda key, shape: jnp.zeros(shape, jnp.int8),
+                (d_in, 3, self.dim),
+            )
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (3, self.dim), jnp.float32
+            )
+            bias = self.param("bias", nn.initializers.zeros, (3, self.dim))
+            y = int8_matmul(
+                x,
+                kernel.reshape(d_in, 3 * self.dim),
+                scale.reshape(-1),
+                bias.reshape(-1),
+                out_dtype=self.dtype,
+            )  # (B, N, 3C)
+            return y.reshape(*y.shape[:-1], 3, self.dim) if grouped else y
         kernel = self.param("kernel", _qkv_grouped_init, (d_in, 3, self.dim))
         bias = self.param("bias", nn.initializers.zeros, (3, self.dim))
         k = jnp.asarray(kernel, self.dtype)
@@ -263,6 +288,7 @@ class SelfAttention(nn.Module):
     use_rope: bool = True
     attn_backend: str = "auto"
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -278,7 +304,9 @@ class SelfAttention(nn.Module):
         from fit_tpu.ops.fused_attention import _use_partition_contract
 
         grouped = _use_partition_contract()
-        qkv = QKVProject(self.dim, dtype=self.dtype, name="qkv")(x, grouped)
+        qkv = QKVProject(self.dim, dtype=self.dtype, quant=self.quant, name="qkv")(
+            x, grouped
+        )
 
         # Fused RoPE+attention kernel path: FiT passes pre-split (cos, sin)
         # tables instead of the raw interleaved table (see FiT.__call__).
@@ -315,9 +343,7 @@ class SelfAttention(nn.Module):
                 out = rope_flash_attention(
                     q3[:, :, 0], q3[:, :, 1], q3[:, :, 2], cos, sin, lengths, d**-0.5
                 ).reshape(b, n, self.dim)
-            return nn.Dense(
-                self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="proj"
-            )(out)
+            return _dense(self.dim, self.dtype, "proj", self.quant)(out)
 
         qkv = qkv.reshape(b, n, 3, h, d)  # no head transpose: slices are free
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
@@ -352,9 +378,7 @@ class SelfAttention(nn.Module):
             out = masked_attention(qh, kh, vh, mask, scale=d**-0.5, backend=backend)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
 
-        return nn.Dense(
-            self.dim, kernel_init=default_kernel_init, dtype=self.dtype, name="proj"
-        )(out)
+        return _dense(self.dim, self.dtype, "proj", self.quant)(out)
 
 
 class FiTBlock(nn.Module):
@@ -368,6 +392,7 @@ class FiTBlock(nn.Module):
     use_rope: bool = True
     attn_backend: str = "auto"
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -394,6 +419,7 @@ class FiTBlock(nn.Module):
             use_rope=self.use_rope,
             attn_backend=self.attn_backend,
             dtype=self.dtype,
+            quant=self.quant,
             name="attn",
         )
         x = x + gate_msa[:, None, :] * attn(
@@ -404,10 +430,14 @@ class FiTBlock(nn.Module):
 
         if self.ffn == "swiglu":
             hidden = int(self.hidden_size * self.mlp_ratio * 2 / 3)
-            ffn = SwiGLU(hidden, self.hidden_size, dtype=self.dtype, name="ffn")
+            ffn = SwiGLU(
+                hidden, self.hidden_size, dtype=self.dtype, quant=self.quant, name="ffn"
+            )
         elif self.ffn == "mlp":
             hidden = int(self.hidden_size * self.mlp_ratio)
-            ffn = GeluMlp(hidden, self.hidden_size, dtype=self.dtype, name="ffn")
+            ffn = GeluMlp(
+                hidden, self.hidden_size, dtype=self.dtype, quant=self.quant, name="ffn"
+            )
         else:
             raise ValueError(f"unsupported ffn `{self.ffn}`")
         x = x + gate_mlp[:, None, :] * ffn(

@@ -116,12 +116,14 @@ class FiTSampler:
         cached_ref, cached = self._cast_cache
         if cached_ref is not None and leaves and cached_ref() is leaves[0]:
             return cached
-        cast = jax.tree.map(
-            lambda x: x.astype(self.model.dtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            params,
-        )
+        def _cast(path, x):
+            if not (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)):
+                return x  # int8 kernels on the quantized path stay int8
+            if path and getattr(path[-1], "key", None) == "kernel_scale":
+                return x  # int8 dequant scales stay fp32 (ops.quant)
+            return x.astype(self.model.dtype)
+
+        cast = jax.tree_util.tree_map_with_path(_cast, params)
         if leaves:
             try:
                 self._cast_cache = (weakref.ref(leaves[0]), cast)

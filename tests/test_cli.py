@@ -106,6 +106,25 @@ def test_sample_cli_mixed_sizes(workdir, trained_ckpt, monkeypatch):
     assert shapes == {(4, 8, 8), (4, 6, 10)}
 
 
+def test_sample_cli_int8_quant(workdir, trained_ckpt, monkeypatch):
+    """--quant int8: the w8a8 serving path runs end-to-end from the CLI
+    (ops.quant conversion after checkpoint restore)."""
+    out_dir = str(workdir / "samples_int8")
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "--checkpoint-path", trained_ckpt,
+        "--num-samples", "1", "--num-sampling-steps", "2",
+        "--image-height", "64", "--image-width", "64",
+        "--batch-size", "1", "--output-dir", out_dir,
+        "--attn-backend", "xla", "--quant", "int8",
+    ])
+    from fit_tpu.cli.sample import main as sample_main
+
+    sample_main()
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 1
+    assert np.isfinite(np.load(os.path.join(out_dir, files[0])).astype(np.float32)).all()
+
+
 def test_vae_checkpoint_resolution(tmp_path):
     from fit_tpu.cli.sample import _parse_sizes, _resolve_vae_checkpoint
 
