@@ -78,11 +78,19 @@ _TP_RULES = [
     # row-parallel: split input features; output needs an all-reduce
     (r".*attn/proj/kernel$", P(MODEL_AXIS, None)),
     (r".*ffn/fc2/kernel$", P(MODEL_AXIS, None)),
+    # int8 serving path (ops.quant): per-output-channel dequant scales
+    # follow their column-parallel kernel's output sharding; row-parallel
+    # (proj/fc2) scales stay replicated (their output dim is unsharded)
+    (r".*attn/qkv/kernel_scale$", P(None, MODEL_AXIS)),
+    (r".*ffn/fc1(_[gx])?/kernel_scale$", P(MODEL_AXIS)),
 ]
 
 _FSDP_RULES = [
     # shard every large 2D kernel's input dim over the data axis (ZeRO-3);
-    # embeddings shard over the vocab dim.
+    # embeddings shard over the vocab dim. The head-grouped qkv kernel
+    # (D, 3, C) needs its own rule — the generic one would right-align
+    # DATA onto the 3-dim, never divide, and silently replicate.
+    (r".*attn/qkv/kernel$", P(DATA_AXIS, None, None)),
     (r".*y_embedder/table/embedding$", P(DATA_AXIS, None)),
     (r".*/kernel$", P(DATA_AXIS, None)),
 ]

@@ -92,6 +92,42 @@ def test_sharded_params_actually_sharded(model_params):
     assert shard_shapes == {(64 // 4, 3, 64 // 2)}
 
 
+def test_fsdp_only_qkv_sharded(model_params):
+    """FSDP without TP must still shard the head-grouped qkv kernel (its own
+    rule: the generic one right-aligns onto the 3-dim and would silently
+    replicate the largest attention weight)."""
+    _, params, _ = model_params
+    mesh = make_mesh(tp=1)
+    sharded, specs = shard_params(params, mesh, tp=False, fsdp=True)
+    spec = specs["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert spec == P("data", None, None)
+    qkv = sharded["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert {s.data.shape for s in qkv.addressable_shards} == {(64 // 8, 3, 64)}
+
+
+def test_quantized_sharded_forward_matches_unsharded(model_params):
+    """int8 serving under TP: GSPMD numerics (incl. the per-token activation
+    absmax over the model-sharded feature axis and int32 partial-sum
+    all-reduce) match the single-device quantized model, and the dequant
+    scales follow their kernel's output sharding."""
+    from fit_tpu.ops.quant import quantize_model
+
+    model, params, args = model_params
+    qmodel, qparams = quantize_model(model, params)
+    want = np.asarray(qmodel.apply(qparams, *args, train=True), np.float32)
+
+    mesh = make_mesh(tp=2)
+    with mesh:
+        sharded, specs = shard_params(qparams, mesh, tp=True, fsdp=False)
+        blk = specs["params"]["blocks_0"]
+        assert blk["attn"]["qkv"]["kernel_scale"] == P(None, "model")
+        assert blk["ffn"]["fc1_g"]["kernel_scale"] == P("model")
+        assert blk["ffn"]["fc2"]["kernel_scale"] == P()
+        dev_args = jax.device_put(args, NamedSharding(mesh, P("data")))
+        got = jax.jit(lambda p, *a: qmodel.apply(p, *a, train=True))(sharded, *dev_args)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, atol=2e-5)
+
+
 def fused_tiny_model():
     # attn_backend="fused" forces the natural-layout Pallas path even off-TPU
     # (interpret mode), so these tests exercise the REAL kernel partitioning
