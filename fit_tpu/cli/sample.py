@@ -42,6 +42,56 @@ def _parse_sizes(spec: str):
     return sizes
 
 
+def load_model_and_params(cfg, torch_checkpoint=None, quant="none"):
+    """Build the FiT from a SampleConfig and restore params — Orbax (EMA by
+    default, like the reference's EMA-swapped eval) or a migrated reference
+    torch/Lightning checkpoint — optionally converting to the int8 serving
+    path. Shared by the sample and serve CLIs."""
+    import jax
+    import jax.numpy as jnp
+
+    from fit_tpu.models import create_fit
+    from fit_tpu.train import create_train_state, make_optimizer
+    from fit_tpu.utils.checkpoint import CheckpointManager
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
+    model = create_fit(
+        cfg.model, num_classes=cfg.num_classes, attn_backend=cfg.attn_backend,
+        dtype=dtype, scan_blocks=cfg.scan_blocks,
+    )
+
+    if torch_checkpoint:
+        from fit_tpu.models.convert import load_torch_fit_checkpoint
+
+        params = load_torch_fit_checkpoint(
+            torch_checkpoint, depth=model.depth, scan_blocks=cfg.scan_blocks,
+            prefer_ema=cfg.use_ema,
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        print(f"Converted torch checkpoint {torch_checkpoint}")
+    else:
+        head_dim = model.hidden_size // model.num_heads
+        dummy_tokens = jnp.zeros((1, 8, model.patch_size**2 * model.in_channels))
+        init_params = model.init(
+            {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
+            dummy_tokens, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 8, head_dim)), jnp.ones((1, 8), bool), train=True,
+        )
+        mgr = CheckpointManager(cfg.checkpoint_path)
+        state, _ = mgr.restore(template=create_train_state(init_params, make_optimizer()))
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {cfg.checkpoint_path}")
+        params = state.ema_params if cfg.use_ema else state.params
+        print(f"Model loaded successfully (step {int(state.step)}, ema={cfg.use_ema})")
+
+    if quant == "int8":
+        from fit_tpu.ops.quant import quantize_model
+
+        model, params = quantize_model(model, params)
+        print("Quantized dense projections to int8 (w8a8 serving path)")
+    return model, params
+
+
 def main():
     parser = argparse.ArgumentParser(description="Sample from a trained FiT")
     from fit_tpu.utils.config import SampleConfig, add_dataclass_args, from_args
@@ -76,48 +126,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fit_tpu.models import create_fit
     from fit_tpu.sampling import FiTSampler
-    from fit_tpu.train import create_train_state, make_optimizer
-    from fit_tpu.utils.checkpoint import CheckpointManager
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
-    model = create_fit(
-        cfg.model, num_classes=cfg.num_classes, attn_backend=cfg.attn_backend,
-        dtype=dtype, scan_blocks=cfg.scan_blocks,
+    model, params = load_model_and_params(
+        cfg, torch_checkpoint=args.torch_checkpoint, quant=args.quant
     )
-
-    if args.torch_checkpoint:
-        # migrate a reference (torch/Lightning) checkpoint on the fly
-        from fit_tpu.models.convert import load_torch_fit_checkpoint
-
-        params = load_torch_fit_checkpoint(
-            args.torch_checkpoint, depth=model.depth, scan_blocks=cfg.scan_blocks,
-            prefer_ema=cfg.use_ema,
-        )
-        params = jax.tree.map(jnp.asarray, params)
-        print(f"Converted torch checkpoint {args.torch_checkpoint}")
-    else:
-        # restore params (EMA by default, like the reference's EMA-swapped eval)
-        head_dim = model.hidden_size // model.num_heads
-        dummy_tokens = jnp.zeros((1, 8, model.patch_size**2 * model.in_channels))
-        init_params = model.init(
-            {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
-            dummy_tokens, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 8, head_dim)), jnp.ones((1, 8), bool), train=True,
-        )
-        mgr = CheckpointManager(cfg.checkpoint_path)
-        state, _ = mgr.restore(template=create_train_state(init_params, make_optimizer()))
-        if state is None:
-            raise FileNotFoundError(f"no checkpoint under {cfg.checkpoint_path}")
-        params = state.ema_params if cfg.use_ema else state.params
-        print(f"Model loaded successfully (step {int(state.step)}, ema={cfg.use_ema})")
-
-    if args.quant == "int8":
-        from fit_tpu.ops.quant import quantize_model
-
-        model, params = quantize_model(model, params)
-        print("Quantized dense projections to int8 (w8a8 serving path)")
 
     vae = vae_params = None
     if args.vae_checkpoint:

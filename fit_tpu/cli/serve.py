@@ -1,0 +1,149 @@
+"""Serving CLI: a stdlib HTTP endpoint over :class:`fit_tpu.serve.SamplingServer`.
+
+No reference counterpart (the reference only ships the offline batch script
+``FiT/sample_lightning.py``); this is the live-deployment face of the same
+sampling pipeline — static-shape packed batching keeps one compiled TPU
+executable hot across arbitrary request arrival.
+
+Usage:
+  python -m fit_tpu.cli.serve --checkpoint_path results/checkpoints \
+      --port 8000 --serve-batch-size 8 --num_sampling_steps 50 \
+      [--quant int8] [--sampler dpm]
+
+Endpoints:
+  POST /sample   body {"label": 3, "height": 256, "width": 256, "seed": 7}
+                 -> .npy bytes of the (C, h, w) float32 latent
+                 (decode with fit_tpu.vae; seed gives bit-reproducible
+                 results under the deterministic samplers ddim/dpm)
+  GET  /stats    -> JSON: served, batches, occupancy, queue depth, latency
+  GET  /healthz  -> 200 "ok"
+"""
+
+import argparse
+import io
+import json
+import os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_handler(server):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through one line per req
+            print(f"[serve] {self.address_string()} {fmt % args}")
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._json(200, server.stats())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                fut = server.submit(
+                    int(req.get("label", 0)),
+                    int(req.get("height", 256)),
+                    int(req.get("width", 256)),
+                    seed=req.get("seed"),
+                )
+            except (ValueError, KeyError, json.JSONDecodeError) as exc:
+                self._json(400, {"error": str(exc)})
+                return
+            try:
+                latent = fut.result()
+            except Exception as exc:  # noqa: BLE001 — surface batch failures
+                self._json(500, {"error": str(exc)})
+                return
+            buf = io.BytesIO()
+            np.save(buf, latent)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    from fit_tpu.utils.config import SampleConfig, add_dataclass_args, from_args
+
+    parser = argparse.ArgumentParser(description="Serve a trained FiT over HTTP")
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--torch-checkpoint", type=str, default=None)
+    parser.add_argument("--quant", choices=["none", "int8"], default="none",
+                        help="int8 = w8a8 quantized serving path (ops.quant)")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--serve-batch-size", type=int, default=8,
+                        help="static TPU batch: requests pack into exactly "
+                             "this many slots per dispatch")
+    parser.add_argument("--max-batch-wait-s", type=float, default=0.25,
+                        help="max seconds the first request in a batch waits "
+                             "for the batch to fill")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip the startup compile batch (first request "
+                             "pays it instead)")
+    add_dataclass_args(parser, SampleConfig)
+    args = parser.parse_args()
+
+    config_path = args.config
+    if config_path is None and args.checkpoint_path:
+        for cand in (
+            os.path.join(os.path.dirname(args.checkpoint_path.rstrip("/")), "config.json"),
+            os.path.join(args.checkpoint_path, "config.json"),
+        ):
+            if os.path.exists(cand):
+                config_path = cand
+                break
+    cfg = from_args(SampleConfig, args, config_path)
+
+    from fit_tpu.cli.sample import load_model_and_params
+    from fit_tpu.serve import SamplingServer
+
+    model, params = load_model_and_params(
+        cfg, torch_checkpoint=args.torch_checkpoint, quant=args.quant
+    )
+    server = SamplingServer(
+        model, params,
+        batch_size=args.serve_batch_size,
+        max_batch_wait_s=args.max_batch_wait_s,
+        num_sampling_steps=cfg.num_sampling_steps,
+        cfg_scale=cfg.cfg_scale,
+        sampler=cfg.sampler,
+        num_classes=cfg.num_classes,
+    )
+    if not args.no_warmup:
+        print("[serve] warming up (compiling the serving executable)...")
+        print(f"[serve] warmup done in {server.warmup():.1f}s")
+
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"[serve] listening on http://{args.host}:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

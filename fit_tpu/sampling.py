@@ -166,6 +166,7 @@ class FiTSampler:
         labels,
         sizes,
         rng: jax.Array,
+        z: Optional[Array] = None,
     ) -> "list[Array]":
         """Sample a PACKED batch of mixed resolutions in one denoising run
         (BASELINE config 4): every sample gets its own RoPE table and
@@ -175,6 +176,11 @@ class FiTSampler:
 
         All sizes share the square canvas, so they must fit the token budget
         (use :meth:`sample` per resolution for extrapolation).
+
+        ``z`` (n, C, max_size, max_size) overrides the canvas noise — the
+        serving layer passes per-request seeded noise so a deterministic
+        sampler ("ddim"/"dpm") reproduces a request bit-exactly regardless
+        of which batch it landed in (fit_tpu.serve).
         """
         labels = jnp.asarray(labels)
         n = labels.shape[0]
@@ -196,10 +202,16 @@ class FiTSampler:
             valid.append((valid_t, h, w))
 
         rng_z, rng_loop = jax.random.split(rng)
-        # noise straight on the canvas; padded tokens are masked out anyway
-        z = jax.random.normal(
-            rng_z, (n, self.model.in_channels, self.max_size, self.max_size), jnp.float32
-        )
+        if z is None:
+            # noise straight on the canvas; padded tokens are masked anyway
+            z = jax.random.normal(
+                rng_z,
+                (n, self.model.in_channels, self.max_size, self.max_size),
+                jnp.float32,
+            )
+        else:
+            expect = (n, self.model.in_channels, self.max_size, self.max_size)
+            assert z.shape == expect, f"z {z.shape} != {expect}"
         pos2 = jnp.asarray(np.concatenate([pos, pos], axis=0))
         mask2 = jnp.asarray(np.concatenate([mask, mask], axis=0))
         canvas = self._jitted(

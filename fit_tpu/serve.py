@@ -1,0 +1,251 @@
+"""TPU-native batch-serving layer: static-shape packed continuous batching.
+
+The reference's only serving story is an offline batch script
+(``/root/reference/FiT/sample_lightning.py``: fixed batches of 100, one
+resolution per run). This module is the deployment-facing extension for a
+live endpoint, designed around how a TPU actually wants to be fed:
+
+* **One static shape.** Every dispatched batch has exactly ``batch_size``
+  slots on the shared square canvas (the ``max_length`` token budget), so
+  the whole service runs ONE compiled executable (per sampler config) —
+  no recompiles in the serving path, ever. Short batches are padded with
+  dummy slots (computed, discarded); mixed resolutions pack into the same
+  canvas via :meth:`FiTSampler.sample_mixed` with per-sample RoPE tables
+  and validity masks.
+* **Diffusion-shaped batching.** Unlike token-level LLM serving, a
+  diffusion request occupies its slot for the full denoising loop, so
+  "continuous batching" degenerates to: collect requests until the batch
+  fills or ``max_batch_wait_s`` passes since the first arrival, then
+  dispatch. Occupancy (real slots / batch_size) is the utilization metric.
+* **Per-request determinism.** A request may carry a ``seed``; its canvas
+  noise is generated host-side from that seed alone, so with a
+  deterministic sampler ("ddim"/"dpm") the result is bit-identical no
+  matter which batch the request landed in or what shared it (masked
+  attention isolates packed samples — tested). "ddpm" injects additional
+  per-step noise from the batch RNG and is reproducible only for identical
+  batch compositions.
+* **Warmup.** :meth:`warmup` runs one throwaway batch so the (minutes-long
+  on remote-compile transports) XLA compile happens before the first user
+  request.
+
+No torch, no external serving deps: a worker thread + queue here, and a
+stdlib ThreadingHTTPServer front-end in ``fit_tpu.cli.serve``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fit_tpu.core.geometry import token_count
+from fit_tpu.sampling import FiTSampler
+
+__all__ = ["SamplingServer"]
+
+
+@dataclasses.dataclass
+class _Request:
+    label: int
+    height: int
+    width: int
+    seed: Optional[int]
+    future: Future
+    t_submit: float
+
+
+class SamplingServer:
+    """Queue + worker-thread batching front-end over :class:`FiTSampler`.
+
+    ``submit`` returns a ``concurrent.futures.Future`` resolving to the
+    (C, h, w) float32 latent. Decode to pixels separately (``fit_tpu.vae``),
+    matching the sampler/decoder split of the reference pipeline.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        batch_size: int = 8,
+        max_batch_wait_s: float = 0.25,
+        num_sampling_steps: int = 250,
+        cfg_scale: float = 1.5,
+        sampler: str = "ddim",
+        num_classes: int = 1000,
+        max_size: int = 32,
+        max_length: int = 256,
+        mesh=None,
+    ):
+        self.sampler = FiTSampler(
+            model,
+            num_sampling_steps=num_sampling_steps,
+            cfg_scale=cfg_scale,
+            sampler=sampler,
+            num_classes=num_classes,
+            max_size=max_size,
+            max_length=max_length,
+            mesh=mesh,
+        )
+        self.model = model
+        self.params = params
+        self.batch_size = int(batch_size)
+        self.max_batch_wait_s = float(max_batch_wait_s)
+        self.num_classes = num_classes
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._served = 0
+        self._batches = 0
+        self._slots = 0
+        self._latencies: list[float] = []
+        self._batch_counter = 0
+        self._nprng = np.random.default_rng(0)
+        self._thread = threading.Thread(
+            target=self._worker, name="fit-serve-worker", daemon=True
+        )
+        self._thread.start()
+
+    # -- request path ------------------------------------------------------
+
+    def submit(
+        self,
+        label: int,
+        height: int = 256,
+        width: int = 256,
+        seed: Optional[int] = None,
+    ) -> Future:
+        """Enqueue one class-conditional generation; returns a Future of the
+        (C, h, w) float32 latent. Validation happens HERE so a bad request
+        fails fast instead of poisoning a whole batch."""
+        if self._stop.is_set():
+            raise RuntimeError("server is closed")
+        if not 0 <= int(label) < self.num_classes:
+            raise ValueError(f"label {label} outside [0, {self.num_classes})")
+        p = self.sampler.model.patch_size
+        h, w = height // self.sampler.vae_scale, width // self.sampler.vae_scale
+        if h % p or w % p or h <= 0 or w <= 0:
+            raise ValueError(
+                f"{height}x{width} is not a multiple of "
+                f"{self.sampler.vae_scale * p} pixels"
+            )
+        if token_count(h, w, p) > self.sampler.max_length:
+            raise ValueError(
+                f"{height}x{width} exceeds the {self.sampler.max_length}-token "
+                "canvas budget; extrapolation sizes need a dedicated "
+                "FiTSampler.sample call"
+            )
+        req = _Request(int(label), height, width, seed, Future(), time.monotonic())
+        self._q.put(req)
+        return req.future
+
+    # -- worker ------------------------------------------------------------
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = first.t_submit + self.max_batch_wait_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._dispatch(batch)
+        # drain: fail any requests still queued at close()
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("server closed"))
+
+    def _canvas_noise(self, req: _Request) -> np.ndarray:
+        rng = (
+            np.random.default_rng(req.seed)
+            if req.seed is not None
+            else self._nprng
+        )
+        c, s = self.model.in_channels, self.sampler.max_size
+        return rng.standard_normal((c, s, s), dtype=np.float32)
+
+    def _dispatch(self, batch: "list[_Request]"):
+        n = len(batch)
+        # pad to the static batch size with copies of the last request:
+        # same executable every time, padded slots discarded
+        padded = batch + [batch[-1]] * (self.batch_size - n)
+        try:
+            labels = [r.label for r in padded]
+            sizes = [(r.height, r.width) for r in padded]
+            z = jnp.asarray(np.stack([self._canvas_noise(r) for r in padded]))
+            with self._lock:
+                self._batch_counter += 1
+                loop_rng = jax.random.PRNGKey(self._batch_counter)
+            latents = self.sampler.sample_mixed(
+                self.params, labels, sizes, loop_rng, z=z
+            )
+            now = time.monotonic()
+            for req, lat in zip(batch, latents[:n]):
+                req.future.set_result(np.asarray(jax.device_get(lat), np.float32))
+            with self._lock:
+                self._served += n
+                self._batches += 1
+                self._slots += self.batch_size
+                self._latencies.extend(now - r.t_submit for r in batch)
+                if len(self._latencies) > 10_000:  # bound the stats window
+                    self._latencies = self._latencies[-10_000:]
+        except Exception as exc:  # noqa: BLE001 — propagate to every waiter
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+
+    # -- ops ---------------------------------------------------------------
+
+    def warmup(self, sizes: Sequence[Tuple[int, int]] = ((256, 256),)) -> float:
+        """Run one throwaway full batch so the serving executable is compiled
+        before real traffic. Returns the wall seconds spent."""
+        t0 = time.monotonic()
+        futs = [
+            self.submit(0, *sizes[i % len(sizes)], seed=0)
+            for i in range(self.batch_size)
+        ]
+        for f in futs:
+            f.result()
+        return time.monotonic() - t0
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            out = {
+                "served": self._served,
+                "batches": self._batches,
+                "occupancy": (self._served / self._slots) if self._slots else 0.0,
+                "queued": self._q.qsize(),
+            }
+            if lat:
+                out["latency_p50_s"] = lat[len(lat) // 2]
+                out["latency_p95_s"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+            return out
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

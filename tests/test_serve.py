@@ -1,0 +1,189 @@
+"""Serving layer (fit_tpu.serve + cli.serve): static-shape packed batching,
+per-request determinism across batch compositions (mask isolation), request
+validation, error propagation, and the stdlib HTTP front-end.
+
+No reference counterpart — the reference's serving story is the offline
+``FiT/sample_lightning.py`` batch script; this layer is the live-endpoint
+extension of the same pipeline."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fit_tpu.models import FiT
+from fit_tpu.serve import SamplingServer
+
+
+def tiny_model():
+    return FiT(
+        patch_size=2, in_channels=4, hidden_size=64, depth=2, num_heads=4,
+        num_classes=8, class_dropout_prob=0.1, attn_backend="xla",
+    )
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+    mask = jnp.ones((2, 16), bool)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
+        tokens, jnp.zeros((2,), jnp.int32), jnp.zeros((2,), jnp.int32),
+        pos, mask, train=True,
+    )
+    # weight mass so outputs depend on inputs (zero adaLN gates at init)
+    leaves, td = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree.unflatten(
+        td, [0.05 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)]
+    )
+    return model, params
+
+
+def make_server(model, params, **kw):
+    kw.setdefault("batch_size", 4)
+    kw.setdefault("max_batch_wait_s", 0.2)
+    kw.setdefault("num_sampling_steps", 2)
+    kw.setdefault("sampler", "ddim")
+    kw.setdefault("num_classes", 8)
+    # tiny canvas: 16x16 latent = 64 tokens at patch 2
+    kw.setdefault("max_size", 16)
+    kw.setdefault("max_length", 64)
+    return SamplingServer(model, params, **kw)
+
+
+def test_full_batch_single_dispatch(model_params):
+    model, params = model_params
+    with make_server(model, params) as srv:
+        futs = [srv.submit(i % 8, 128, 128, seed=i) for i in range(4)]
+        lats = [f.result(timeout=120) for f in futs]
+    assert all(l.shape == (4, 16, 16) for l in lats)
+    assert all(np.isfinite(l).all() for l in lats)
+    s = srv.stats()
+    assert s["served"] == 4 and s["batches"] == 1 and s["occupancy"] == 1.0
+
+
+def test_partial_batch_padded_and_mixed_sizes(model_params):
+    model, params = model_params
+    with make_server(model, params, max_batch_wait_s=0.05) as srv:
+        f1 = srv.submit(1, 128, 128)
+        f2 = srv.submit(2, 96, 160)  # 12x20 latent = 60 tokens, fits 64
+        a, b = f1.result(timeout=120), f2.result(timeout=120)
+    assert a.shape == (4, 16, 16)
+    assert b.shape == (4, 12, 20)
+    s = srv.stats()
+    assert s["served"] == 2 and s["occupancy"] == 0.5
+
+
+def test_seeded_request_deterministic_across_batch_compositions(model_params):
+    """The serving determinism contract: a seeded ddim request reproduces
+    bit-exactly no matter what else shared its batch — which simultaneously
+    proves the packed-canvas mask isolation on the serving path."""
+    model, params = model_params
+    with make_server(model, params, max_batch_wait_s=0.05) as srv:
+        a = srv.submit(3, 128, 128, seed=42).result(timeout=120)
+        time.sleep(0.2)  # let the first batch dispatch alone
+        futs = [srv.submit(5, 96, 160, seed=1), srv.submit(3, 128, 128, seed=42),
+                srv.submit(7, 128, 128, seed=9)]
+        b = futs[1].result(timeout=120)
+        for f in futs:
+            f.result(timeout=120)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_submit_validation(model_params):
+    model, params = model_params
+    with make_server(model, params) as srv:
+        with pytest.raises(ValueError, match="label"):
+            srv.submit(99, 128, 128)
+        with pytest.raises(ValueError, match="token"):
+            srv.submit(0, 256, 256)  # 32x32 latent = 256 tokens > 64 budget
+        with pytest.raises(ValueError, match="multiple"):
+            srv.submit(0, 120, 128)  # 15 latent px not a multiple of patch 2
+
+
+def test_batch_error_propagates_to_futures(model_params):
+    model, params = model_params
+    with make_server(model, params) as srv:
+        srv.sampler.sample_mixed = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("device exploded")
+        )
+        f = srv.submit(0, 128, 128)
+        with pytest.raises(RuntimeError, match="device exploded"):
+            f.result(timeout=30)
+
+
+def test_close_fails_queued_requests(model_params):
+    model, params = model_params
+    srv = make_server(model, params, max_batch_wait_s=30.0, batch_size=64)
+    blocker = threading.Event()
+    orig = srv.sampler.sample_mixed
+    srv.sampler.sample_mixed = lambda *a, **k: (blocker.wait(60), orig(*a, **k))[1]
+    f = srv.submit(0, 128, 128)
+    srv._stop.set()
+    blocker.set()
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(0, 128, 128)
+    # the in-flight one either completed or was failed at drain; must resolve
+    try:
+        f.result(timeout=30)
+    except RuntimeError:
+        pass
+    assert f.done()
+
+
+def test_http_endpoint_end_to_end(model_params):
+    """cli.serve handler over a live ThreadingHTTPServer: /sample returns a
+    loadable .npy latent, /stats and /healthz respond."""
+    from http.server import ThreadingHTTPServer
+
+    from fit_tpu.cli.serve import make_handler
+
+    model, params = model_params
+    with make_server(model, params, max_batch_wait_s=0.05) as srv:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            body = json.dumps({"label": 2, "height": 128, "width": 128,
+                               "seed": 3}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/sample", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                assert resp.status == 200
+                lat = np.load(io.BytesIO(resp.read()))
+            assert lat.shape == (4, 16, 16) and np.isfinite(lat).all()
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as resp:
+                stats = json.loads(resp.read())
+            assert stats["served"] >= 1
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as resp:
+                assert json.loads(resp.read())["status"] == "ok"
+
+            # bad request -> 400, not a hung future
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/sample",
+                data=json.dumps({"label": 99}).encode(), method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 400
+        finally:
+            httpd.shutdown()
