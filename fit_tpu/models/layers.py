@@ -165,6 +165,15 @@ class LabelEmbedder(nn.Module):
         return table(labels)
 
 
+def _fused_epilogue(x) -> bool:
+    """Whether the (B, T, ...) activation is past the measured crossover
+    where the Pallas quant-epilogue kernels beat XLA's two-pass dynamic
+    quant (ops.quant.use_fused_epilogue)."""
+    from fit_tpu.ops.quant import use_fused_epilogue
+
+    return use_fused_epilogue(x.shape[0], x.shape[1])
+
+
 def _dense(features: int, dtype: Dtype, name: str, quant: str = "none"):
     """nn.Dense, or its int8 drop-in on the quantized sampling path
     (ops.quant: w8a8 dynamic, 2x MXU rate on v5e)."""
@@ -184,11 +193,19 @@ class SwiGLU(nn.Module):
     quant: str = "none"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x) -> Array:
         gate = _dense(self.hidden_features, self.dtype, "fc1_g", self.quant)(x)
         val = _dense(self.hidden_features, self.dtype, "fc1_x", self.quant)(x)
-        x = nn.silu(gate) * val
-        return _dense(self.out_features, self.dtype, "fc2", self.quant)(x)
+        if self.quant == "int8" and _fused_epilogue(gate):
+            # fused silu*val + rowwise int8 in one VMEM pass: the (B,T,H)
+            # hidden never round-trips HBM in bf16 (ops.quant; gated on the
+            # measured row-count crossover)
+            from fit_tpu.ops.quant import silu_mul_quant
+
+            h = silu_mul_quant(gate, val)
+        else:
+            h = nn.silu(gate) * val
+        return _dense(self.out_features, self.dtype, "fc2", self.quant)(h)
 
 
 class GeluMlp(nn.Module):
@@ -202,7 +219,7 @@ class GeluMlp(nn.Module):
     quant: str = "none"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x) -> Array:
         x = _dense(self.hidden_features, self.dtype, "fc1", self.quant)(x)
         x = nn.gelu(x, approximate=True)
         return _dense(self.out_features, self.dtype, "fc2", self.quant)(x)
@@ -239,8 +256,8 @@ class QKVProject(nn.Module):
     quant: str = "none"
 
     @nn.compact
-    def __call__(self, x: Array, grouped: bool):
-        d_in = x.shape[-1]
+    def __call__(self, x, grouped: bool):
+        d_in = (x[0] if isinstance(x, tuple) else x).shape[-1]
         if self.quant == "int8":
             # offline-quantized storage (ops.quant.quantize_params): int8
             # kernel in the same grouped layout + per-output-channel scale
@@ -293,11 +310,13 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: Array,
+        x,
         mask: Optional[Array] = None,
         freqs_cis: Optional[Array] = None,
     ) -> Array:
-        b, n, _ = x.shape
+        # quantized path: x may be a pre-quantized (x_i8, rowscale) pair
+        # from adaln_quant — it only ever feeds the qkv projection
+        b, n, _ = (x[0] if isinstance(x, tuple) else x).shape
         h = self.num_heads
         d = self.dim // h
 
@@ -422,8 +441,17 @@ class FiTBlock(nn.Module):
             quant=self.quant,
             name="attn",
         )
+        if self.quant == "int8" and _fused_epilogue(x):
+            # fused LN + modulate + rowwise int8 (one VMEM pass; the bf16
+            # modulated tensor never hits HBM — ops.quant.adaln_quant, gated
+            # on the measured row-count crossover)
+            from fit_tpu.ops.quant import adaln_quant
+
+            attn_in = adaln_quant(x, shift_msa, scale_msa)
+        else:
+            attn_in = modulate(layer_norm_fp32(x), shift_msa, scale_msa)
         x = x + gate_msa[:, None, :] * attn(
-            modulate(layer_norm_fp32(x), shift_msa, scale_msa),
+            attn_in,
             mask=mask,
             freqs_cis=freqs_cis,
         )
@@ -440,9 +468,13 @@ class FiTBlock(nn.Module):
             )
         else:
             raise ValueError(f"unsupported ffn `{self.ffn}`")
-        x = x + gate_mlp[:, None, :] * ffn(
-            modulate(layer_norm_fp32(x), shift_mlp, scale_mlp)
-        )
+        if self.quant == "int8" and _fused_epilogue(x):
+            from fit_tpu.ops.quant import adaln_quant
+
+            ffn_in = adaln_quant(x, shift_mlp, scale_mlp)
+        else:
+            ffn_in = modulate(layer_norm_fp32(x), shift_mlp, scale_mlp)
+        x = x + gate_mlp[:, None, :] * ffn(ffn_in)
         return x
 
 
