@@ -214,8 +214,20 @@ class FiTSampler:
             assert z.shape == expect, f"z {z.shape} != {expect}"
         pos2 = jnp.asarray(np.concatenate([pos, pos], axis=0))
         mask2 = jnp.asarray(np.concatenate([mask, mask], axis=0))
+        params = self._cast_params(params)
+        if self.mesh is not None:
+            # DP packed sampling (same contract as sample()): batch over the
+            # 'data' axis, params replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batched = NamedSharding(self.mesh, P("data"))
+            z = jax.device_put(z, batched)
+            labels = jax.device_put(labels, batched)
+            pos2 = jax.device_put(pos2, batched)
+            mask2 = jax.device_put(mask2, batched)
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
         canvas = self._jitted(
-            self._cast_params(params), z, self.max_size, self.max_size,
+            params, z, self.max_size, self.max_size,
             labels, pos2, mask2, rng_loop,
         )
         return [

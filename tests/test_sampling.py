@@ -122,6 +122,24 @@ def test_sample_multi_device_dp(model_and_params):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sample_mixed_multi_device_dp(model_and_params):
+    """DP packed mixed-resolution sampling over the 8-device CPU mesh
+    matches single-device output — the multi-chip serving path
+    (fit_tpu.serve routes through sample_mixed)."""
+    from fit_tpu.parallel import make_mesh
+
+    model, params = model_and_params
+    kwargs = dict(num_sampling_steps=3, max_size=16, max_length=64, num_classes=10)
+    labels = list(range(8))
+    sizes = [(128, 64), (64, 128)] * 4
+    single = FiTSampler(model, **kwargs)
+    a = single.sample_mixed(params, labels, sizes, jax.random.PRNGKey(4))
+    sharded = FiTSampler(model, mesh=make_mesh(tp=1), **kwargs)
+    b = sharded.sample_mixed(params, labels, sizes, jax.random.PRNGKey(4))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+
 def test_sample_mixed_aspect_packed_batch(model_and_params):
     """BASELINE config 4 proper: different resolutions in ONE packed batch,
     per-sample pos tables and masks; each output matches the same seed's
