@@ -60,6 +60,18 @@ def load_model_and_params(cfg, torch_checkpoint=None, quant="none"):
         dtype=dtype, scan_blocks=cfg.scan_blocks,
     )
 
+    from fit_tpu.ops.quant import is_quantized_artifact
+
+    if cfg.checkpoint_path and is_quantized_artifact(cfg.checkpoint_path):
+        # pre-quantized serving artifact (cli.quantize): int8 params load
+        # directly, no conversion pass
+        from fit_tpu.ops.quant import load_quantized
+
+        params, meta = load_quantized(cfg.checkpoint_path)
+        print(f"Loaded int8 serving artifact ({meta.get('scheme')}, "
+              f"model {meta.get('model', cfg.model)})")
+        return model.clone(quant="int8"), params
+
     if torch_checkpoint:
         from fit_tpu.models.convert import load_torch_fit_checkpoint
 

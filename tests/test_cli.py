@@ -125,6 +125,39 @@ def test_sample_cli_int8_quant(workdir, trained_ckpt, monkeypatch):
     assert np.isfinite(np.load(os.path.join(out_dir, files[0])).astype(np.float32)).all()
 
 
+def test_quantize_cli_artifact_roundtrip(workdir, trained_ckpt, monkeypatch):
+    """cli.quantize writes an int8 artifact; sampling from it produces
+    byte-identical latents to on-the-fly --quant int8 from the original
+    checkpoint (the artifact IS quantize_params' output)."""
+    art_dir = str(workdir / "quantized")
+    monkeypatch.setattr(sys, "argv", [
+        "quantize", "--checkpoint-path", trained_ckpt, "--output", art_dir,
+    ])
+    from fit_tpu.cli.quantize import main as quantize_main
+
+    quantize_main()
+    assert os.path.exists(os.path.join(art_dir, "quant.json"))
+
+    def sample_to(ckpt, out_dir, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "sample", "--checkpoint-path", ckpt,
+            "--num-samples", "1", "--num-sampling-steps", "2",
+            "--image-height", "64", "--image-width", "64",
+            "--batch-size", "1", "--output-dir", out_dir,
+            "--attn-backend", "xla", *extra,
+        ])
+        from fit_tpu.cli.sample import main as sample_main
+
+        sample_main()
+        files = sorted(os.listdir(out_dir))
+        assert len(files) == 1
+        return np.load(os.path.join(out_dir, files[0]))
+
+    a = sample_to(art_dir, str(workdir / "samples_art"), [])
+    b = sample_to(trained_ckpt, str(workdir / "samples_fly"), ["--quant", "int8"])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_vae_checkpoint_resolution(tmp_path):
     from fit_tpu.cli.sample import _parse_sizes, _resolve_vae_checkpoint
 
