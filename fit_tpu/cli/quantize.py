@@ -30,6 +30,10 @@ def main():
                              "checkpoint instead of an Orbax directory")
     parser.add_argument("--output", type=str, required=True,
                         help="directory for the quantized artifact")
+    parser.add_argument("--equalize", type=int, default=0, metavar="N",
+                        help="SmoothQuant activation equalization on N "
+                             "data-free calibration batches before quantizing "
+                             "(fit_tpu.ops.equalize; 0 = off)")
     add_dataclass_args(parser, SampleConfig)
     args = parser.parse_args()
 
@@ -48,13 +52,14 @@ def main():
     from fit_tpu.ops.quant import save_quantized
 
     _, params = load_model_and_params(
-        cfg, torch_checkpoint=args.torch_checkpoint, quant="int8"
+        cfg, torch_checkpoint=args.torch_checkpoint, quant="int8",
+        equalize=args.equalize,
     )
     os.makedirs(args.output, exist_ok=True)
     save_quantized(
         args.output, params,
         meta={"model": cfg.model, "num_classes": cfg.num_classes,
-              "use_ema": cfg.use_ema},
+              "use_ema": cfg.use_ema, "equalized_batches": args.equalize},
     )
     # carry the sampling config next to the artifact so sample/serve restore
     # hyperparameters exactly like from a training results dir

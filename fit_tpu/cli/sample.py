@@ -42,7 +42,7 @@ def _parse_sizes(spec: str):
     return sizes
 
 
-def load_model_and_params(cfg, torch_checkpoint=None, quant="none"):
+def load_model_and_params(cfg, torch_checkpoint=None, quant="none", equalize=0):
     """Build the FiT from a SampleConfig and restore params — Orbax (EMA by
     default, like the reference's EMA-swapped eval) or a migrated reference
     torch/Lightning checkpoint — optionally converting to the int8 serving
@@ -99,8 +99,25 @@ def load_model_and_params(cfg, torch_checkpoint=None, quant="none"):
     if quant == "int8":
         from fit_tpu.ops.quant import quantize_model
 
-        model, params = quantize_model(model, params)
-        print("Quantized dense projections to int8 (w8a8 serving path)")
+        calib = None
+        if equalize:
+            # SmoothQuant equalization on data-free synthetic batches at the
+            # serving resolution (ops.equalize; pass real latents through
+            # quantize_model directly for data-grounded stats)
+            import numpy as _np
+
+            from fit_tpu.ops.equalize import synthetic_calib_batch
+
+            rng = _np.random.default_rng(0)
+            calib = [
+                synthetic_calib_batch(model, rng, batch=4, size=cfg.image_height)
+                for _ in range(int(equalize))
+            ]
+        model, params = quantize_model(model, params, calib_batches=calib)
+        print(
+            "Quantized dense projections to int8 (w8a8 serving path"
+            + (f", equalized on {equalize} calib batches)" if equalize else ")")
+        )
     return model, params
 
 
@@ -118,6 +135,10 @@ def main():
                         help="int8 = w8a8 quantized serving path for the "
                              "per-block projections (2x MXU rate on v5e; "
                              "see fit_tpu.ops.quant)")
+    parser.add_argument("--quant-equalize", type=int, default=0, metavar="N",
+                        help="with --quant int8: run SmoothQuant activation "
+                             "equalization on N data-free calibration batches "
+                             "before quantizing (fit_tpu.ops.equalize)")
     add_dataclass_args(parser, SampleConfig)
     args = parser.parse_args()
 
@@ -142,7 +163,8 @@ def main():
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
     model, params = load_model_and_params(
-        cfg, torch_checkpoint=args.torch_checkpoint, quant=args.quant
+        cfg, torch_checkpoint=args.torch_checkpoint, quant=args.quant,
+        equalize=args.quant_equalize,
     )
 
     vae = vae_params = None

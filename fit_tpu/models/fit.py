@@ -125,6 +125,9 @@ class FiT(nn.Module):
     # SAMPLING-only serving path; 2x MXU rate on v5e — see ops.quant).
     # Params come from ops.quant.quantize_params, never from init/training.
     quant: str = "none"
+    # Calibration mode for int8 equalization (ops.equalize): blocks sow the
+    # per-channel absmax of every int8 feed into a mutable "calib" collection.
+    calib: bool = False
     dtype: Any = jnp.float32
     # Rematerialization (trade FLOPs for HBM). False | True | "dots":
     #   True  — full-block remat: save only block boundaries, replay the
@@ -215,6 +218,7 @@ class FiT(nn.Module):
             attn_backend=self.attn_backend,
             dtype=self.dtype,
             quant=self.quant,
+            calib=self.calib,
         )
         if self.remat == "dots":
             block_cls = nn.remat(
@@ -228,7 +232,8 @@ class FiT(nn.Module):
         if self.scan_blocks:
             scan_cls = nn.scan(
                 _ScanBlockBody,
-                variable_axes={"params": 0},
+                # "calib" stacks each layer's sown absmax to (depth, C)
+                variable_axes={"params": 0, "calib": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.depth,

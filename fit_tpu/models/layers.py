@@ -191,6 +191,7 @@ class SwiGLU(nn.Module):
     out_features: int
     dtype: Dtype = jnp.float32
     quant: str = "none"
+    calib: bool = False  # sow int8-feed absmax (ops.equalize calibration)
 
     @nn.compact
     def __call__(self, x) -> Array:
@@ -205,6 +206,10 @@ class SwiGLU(nn.Module):
             h = silu_mul_quant(gate, val)
         else:
             h = nn.silu(gate) * val
+        if self.calib and not isinstance(h, tuple):
+            from fit_tpu.ops.equalize import sow_absmax
+
+            sow_absmax(self, "fc2_in", h)
         return _dense(self.out_features, self.dtype, "fc2", self.quant)(h)
 
 
@@ -306,6 +311,13 @@ class SelfAttention(nn.Module):
     attn_backend: str = "auto"
     dtype: Dtype = jnp.float32
     quant: str = "none"
+    calib: bool = False  # sow int8-feed absmax (ops.equalize calibration)
+
+    def _sow_proj_in(self, out) -> None:
+        if self.calib:
+            from fit_tpu.ops.equalize import sow_absmax
+
+            sow_absmax(self, "proj_in", out)
 
     @nn.compact
     def __call__(
@@ -362,6 +374,7 @@ class SelfAttention(nn.Module):
                 out = rope_flash_attention(
                     q3[:, :, 0], q3[:, :, 1], q3[:, :, 2], cos, sin, lengths, d**-0.5
                 ).reshape(b, n, self.dim)
+            self._sow_proj_in(out)
             return _dense(self.dim, self.dtype, "proj", self.quant)(out)
 
         qkv = qkv.reshape(b, n, 3, h, d)  # no head transpose: slices are free
@@ -397,6 +410,7 @@ class SelfAttention(nn.Module):
             out = masked_attention(qh, kh, vh, mask, scale=d**-0.5, backend=backend)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
 
+        self._sow_proj_in(out)
         return _dense(self.dim, self.dtype, "proj", self.quant)(out)
 
 
@@ -412,6 +426,13 @@ class FiTBlock(nn.Module):
     attn_backend: str = "auto"
     dtype: Dtype = jnp.float32
     quant: str = "none"
+    calib: bool = False  # sow int8-feed absmax (ops.equalize calibration)
+
+    def _sow(self, name: str, x) -> None:
+        if self.calib and not isinstance(x, tuple):
+            from fit_tpu.ops.equalize import sow_absmax
+
+            sow_absmax(self, name, x)
 
     @nn.compact
     def __call__(
@@ -439,6 +460,7 @@ class FiTBlock(nn.Module):
             attn_backend=self.attn_backend,
             dtype=self.dtype,
             quant=self.quant,
+            calib=self.calib,
             name="attn",
         )
         if self.quant == "int8" and _fused_epilogue(x):
@@ -450,6 +472,7 @@ class FiTBlock(nn.Module):
             attn_in = adaln_quant(x, shift_msa, scale_msa)
         else:
             attn_in = modulate(layer_norm_fp32(x), shift_msa, scale_msa)
+        self._sow("attn_in", attn_in)
         x = x + gate_msa[:, None, :] * attn(
             attn_in,
             mask=mask,
@@ -459,7 +482,8 @@ class FiTBlock(nn.Module):
         if self.ffn == "swiglu":
             hidden = int(self.hidden_size * self.mlp_ratio * 2 / 3)
             ffn = SwiGLU(
-                hidden, self.hidden_size, dtype=self.dtype, quant=self.quant, name="ffn"
+                hidden, self.hidden_size, dtype=self.dtype, quant=self.quant,
+                calib=self.calib, name="ffn"
             )
         elif self.ffn == "mlp":
             hidden = int(self.hidden_size * self.mlp_ratio)
@@ -474,6 +498,7 @@ class FiTBlock(nn.Module):
             ffn_in = adaln_quant(x, shift_mlp, scale_mlp)
         else:
             ffn_in = modulate(layer_norm_fp32(x), shift_mlp, scale_mlp)
+        self._sow("ffn_in", ffn_in)
         x = x + gate_mlp[:, None, :] * ffn(ffn_in)
         return x
 

@@ -308,9 +308,21 @@ def quantize_params(params: Any) -> Any:
     return convert(params)
 
 
-def quantize_model(model, params) -> "tuple[Any, Any]":
+def quantize_model(model, params, calib_batches=None, alpha: float = 0.5) -> "tuple[Any, Any]":
     """(bf16 FiT, bf16/f32 params) -> (int8-path FiT, converted params).
-    The returned pair drops into FiTSampler unchanged."""
+    The returned pair drops into FiTSampler unchanged.
+
+    ``calib_batches`` (optional): iterable of ``train=False`` apply-arg
+    tuples — when given, SmoothQuant equalization (``ops.equalize``) runs
+    first: activation-outlier difficulty migrates into the weights via
+    calibrated per-channel scales folded into the producers (numerically
+    equivalent in bf16, substantially lower int8 quantization error on
+    outlier-prone trained checkpoints)."""
+    if calib_batches is not None:
+        from fit_tpu.ops.equalize import calibrate, equalize_params
+
+        stats = calibrate(model, params, calib_batches)
+        params = equalize_params(params, stats, alpha=alpha)
     return model.clone(quant="int8"), quantize_params(params)
 
 
