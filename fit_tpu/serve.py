@@ -17,6 +17,11 @@ live endpoint, designed around how a TPU actually wants to be fed:
   "continuous batching" degenerates to: collect requests until the batch
   fills or ``max_batch_wait_s`` passes since the first arrival, then
   dispatch. Occupancy (real slots / batch_size) is the utilization metric.
+* **Pipelined dispatch.** JAX dispatch is async: the worker launches batch
+  N+1 while batch N computes and only then fetches N's results, so host
+  work (noise generation, readback, future resolution) overlaps TPU
+  compute (``bench.py --mode serve`` measures the resulting serving
+  efficiency against the raw offline sampler rate).
 * **Per-request determinism.** A request may carry a ``seed``; its canvas
   noise is generated host-side from that seed alone, so with a
   deterministic sampler ("ddim"/"dpm") the result is bit-identical no
@@ -149,14 +154,34 @@ class SamplingServer:
     # -- worker ------------------------------------------------------------
 
     def _worker(self):
+        # one-deep pipeline: while batch N computes on the TPU (dispatch is
+        # async), the worker already collects and LAUNCHES batch N+1, then
+        # completes N (host readback) — host work overlaps TPU compute
+        # instead of serializing between batches. The win scales with
+        # compute-per-batch: bench.py --mode serve measures the resulting
+        # serving efficiency (served rate / offline sampler rate).
+        pending = None  # (requests, device latents) launched but not fetched
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.05)
             except queue.Empty:
+                if pending is not None:
+                    self._complete(*pending)
+                    pending = None
                 continue
             batch = [first]
             deadline = first.t_submit + self.max_batch_wait_s
             while len(batch) < self.batch_size:
+                # ALWAYS take requests already queued (under load the queue
+                # fills while the previous batch computes — the deadline, which
+                # dates from the first request's arrival, is long past by then
+                # and must not prevent filling the batch); wait for MORE only
+                # until the deadline.
+                try:
+                    batch.append(self._q.get_nowait())
+                    continue
+                except queue.Empty:
+                    pass
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
@@ -164,7 +189,12 @@ class SamplingServer:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._dispatch(batch)
+            launched = self._launch(batch)
+            if pending is not None:
+                self._complete(*pending)
+            pending = (batch, launched) if launched is not None else None
+        if pending is not None:
+            self._complete(*pending)
         # drain: fail any requests still queued at close()
         while True:
             try:
@@ -182,7 +212,9 @@ class SamplingServer:
         c, s = self.model.in_channels, self.sampler.max_size
         return rng.standard_normal((c, s, s), dtype=np.float32)
 
-    def _dispatch(self, batch: "list[_Request]"):
+    def _launch(self, batch: "list[_Request]"):
+        """Build the padded canvas batch and dispatch the (async) TPU call.
+        Returns the device latents, or None after failing the futures."""
         n = len(batch)
         # pad to the static batch size with copies of the last request:
         # same executable every time, padded slots discarded
@@ -194,12 +226,25 @@ class SamplingServer:
             with self._lock:
                 self._batch_counter += 1
                 loop_rng = jax.random.PRNGKey(self._batch_counter)
-            latents = self.sampler.sample_mixed(
+            return self.sampler.sample_mixed(
                 self.params, labels, sizes, loop_rng, z=z
             )
+        except Exception as exc:  # noqa: BLE001 — propagate to every waiter
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+            return None
+
+    def _complete(self, batch: "list[_Request]", latents):
+        """Host readback of a launched batch; resolves its futures."""
+        n = len(batch)
+        try:
+            # ragged per-sample shapes (mixed resolutions): one transfer per
+            # sample via a single device_get over the list
+            host = jax.device_get(list(latents[:n]))
             now = time.monotonic()
-            for req, lat in zip(batch, latents[:n]):
-                req.future.set_result(np.asarray(jax.device_get(lat), np.float32))
+            for req, lat in zip(batch, host):
+                req.future.set_result(np.asarray(lat, np.float32))
             with self._lock:
                 self._served += n
                 self._batches += 1
@@ -216,7 +261,10 @@ class SamplingServer:
 
     def warmup(self, sizes: Sequence[Tuple[int, int]] = ((256, 256),)) -> float:
         """Run one throwaway full batch so the serving executable is compiled
-        before real traffic. Returns the wall seconds spent."""
+        before real traffic, then reset the serving stats (warmup requests
+        spend the whole — minutes-long on remote-compile transports — XLA
+        compile in the queue; leaving them in the window would dominate the
+        reported p95 forever). Returns the wall seconds spent."""
         t0 = time.monotonic()
         futs = [
             self.submit(0, *sizes[i % len(sizes)], seed=0)
@@ -224,6 +272,9 @@ class SamplingServer:
         ]
         for f in futs:
             f.result()
+        with self._lock:
+            self._served = self._batches = self._slots = 0
+            self._latencies.clear()
         return time.monotonic() - t0
 
     def stats(self) -> dict:

@@ -72,6 +72,28 @@ def test_full_batch_single_dispatch(model_params):
     assert s["served"] == 4 and s["batches"] == 1 and s["occupancy"] == 1.0
 
 
+def test_queued_backlog_fills_batches(model_params):
+    """Under load the queue fills while a batch computes; the worker must
+    drain already-queued requests into full batches even though the
+    batch-wait deadline (dated from the FIRST request) is long past.
+    Regression: the r3 TPU load test measured occupancy 0.17 because the
+    deadline check ran before the drain — every backlogged request shipped
+    in its own near-empty batch."""
+    model, params = model_params
+    # wait 0.0: the worker may never WAIT for stragglers, but must still
+    # TAKE everything already sitting in the queue
+    with make_server(model, params, max_batch_wait_s=0.0) as srv:
+        first = srv.submit(0, 128, 128, seed=0)  # occupies the worker
+        backlog = [srv.submit(i % 8, 128, 128, seed=i) for i in range(1, 9)]
+        for f in [first, *backlog]:
+            f.result(timeout=120)
+    s = srv.stats()
+    assert s["served"] == 9
+    # worst-case timing still packs the 8-deep backlog into 2 full batches
+    # (old behavior: 9 single-request dispatches)
+    assert s["batches"] <= 4, s
+
+
 def test_partial_batch_padded_and_mixed_sizes(model_params):
     model, params = model_params
     with make_server(model, params, max_batch_wait_s=0.05) as srv:
