@@ -49,10 +49,10 @@ def init_params(model, head_dim):
     )
 
 
-def measure(model, params, batch, steps, seed=0, size=256):
+def measure(model, params, batch, steps, seed=0, size=256, sampler="ddpm"):
     from fit_tpu.sampling import FiTSampler
 
-    sampler = FiTSampler(model, num_sampling_steps=steps, cfg_scale=1.5, sampler="ddpm")
+    sampler = FiTSampler(model, num_sampling_steps=steps, cfg_scale=1.5, sampler=sampler)
     labels = list(range(batch))
 
     def run(s):
@@ -142,6 +142,55 @@ def roofline_report(model, params, batch, size, step_lat_s):
         )
         report["param_read_ms"] = round(param_bytes / bw * 1e3, 3)
     return report
+
+
+def measure_serve(model, params, batch, steps, sampler="dpm", mixed=True):
+    """Closed-loop load test of the live serving layer (fit_tpu.serve).
+
+    Saturates the SamplingServer with 2x-batch outstanding requests (mixed
+    resolutions when ``mixed``) and reports sustained images/sec plus the
+    server's own occupancy/latency stats. ``vs_baseline`` for this mode is
+    SERVING EFFICIENCY: the served rate divided by the raw offline sampler
+    rate at the same config — 1.0 means the batching front-end adds zero
+    overhead over the offline batch script the reference ships."""
+    from fit_tpu.serve import SamplingServer
+
+    sizes = [(256, 256), (224, 288), (288, 224), (256, 256)]
+    if not mixed:
+        sizes = [(256, 256)]
+    srv = SamplingServer(
+        model, params, batch_size=batch, max_batch_wait_s=0.05,
+        num_sampling_steps=steps, cfg_scale=1.5, sampler=sampler,
+    )
+    try:
+        srv.warmup(sizes)
+
+        # idle-service latency: one request against an empty server pays the
+        # batch-wait + a full padded-batch denoise — the p50 a lone client sees
+        t0 = time.perf_counter()
+        srv.submit(1, *sizes[0], seed=1).result()
+        idle_latency_s = time.perf_counter() - t0
+
+        # saturation: keep 3 batches outstanding (the pipelined worker holds
+        # 2 in flight — one computing, one launched — so the queue needs a
+        # third to fill the next batch the instant collection starts)
+        n_total = max(9 * batch, 72)
+        results = []
+        t0 = time.perf_counter()
+        outstanding = []
+        for i in range(n_total):
+            outstanding.append(
+                srv.submit(i % 1000, *sizes[i % len(sizes)], seed=i)
+            )
+            while len(outstanding) >= 3 * batch:
+                results.append(outstanding.pop(0).result())
+        for f in outstanding:
+            results.append(f.result())
+        dt = time.perf_counter() - t0
+        stats = srv.stats()
+    finally:
+        srv.close()
+    return n_total / dt, idle_latency_s, stats
 
 
 def build_train(model_name):
@@ -265,8 +314,10 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["sample", "train", "extrapolate"], default="sample",
-        help="extrapolate = 512x512 via VisionNTK (T=1024, attention-dominated)",
+        "--mode", choices=["sample", "train", "extrapolate", "serve"], default="sample",
+        help="extrapolate = 512x512 via VisionNTK (T=1024, attention-dominated); "
+        "serve = closed-loop load test of the live HTTP-serving batcher "
+        "(mixed resolutions, DPM-Solver++ 25 steps)",
     )
     ap.add_argument("--model", default="FiT-XL/2")
     # throughput peaks at small batch (bandwidth-bound regime; see sweep in
@@ -282,7 +333,9 @@ def main():
     ap.add_argument("--image-size", type=int, default=None,
                     help="extrapolate-mode canvas (default 512; 768 -> T=2304, "
                     "1024 -> T=4096 on the K+Q-chunked grid)")
-    ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: 250 (sample/extrapolate), 25 (serve: the "
+                    "DPM-Solver++ deployment config)")
     ap.add_argument("--baseline-steps", type=int, default=25)
     ap.add_argument("--quant", choices=["none", "int8"], default="none",
                     help="int8 = w8a8 quantized serving path for the dense "
@@ -298,6 +351,8 @@ def main():
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
+    if args.steps is None:
+        args.steps = 25 if args.mode == "serve" else 250
     if args.sweep_batch is None:
         args.sweep_batch = on_tpu
     size = (args.image_size or 512) if args.mode == "extrapolate" else 256
@@ -340,6 +395,39 @@ def main():
     model = build(args.model, jnp.bfloat16, "auto")
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
+
+    if args.mode == "serve":
+        if args.quant == "int8":
+            from fit_tpu.ops.quant import quantize_model
+
+            model, params = quantize_model(model, params)
+        batch = args.batch or (8 if on_tpu else 2)
+        served_rate, idle_latency_s, stats = measure_serve(
+            model, params, batch, args.steps, sampler="dpm"
+        )
+        # serving efficiency: served rate / raw offline sampler rate at the
+        # identical config (same sampler, steps, batch; single resolution —
+        # the offline script the reference ships can't mix resolutions)
+        offline_rate, _ = measure(
+            model, params, batch, args.steps, seed=30, size=size, sampler="dpm"
+        )
+        metric_tag = " int8" if args.quant == "int8" else ""
+        out = {
+            "metric": f"serve images/sec/chip {args.model} mixed-res "
+                      f"dpm{args.steps} cfg{metric_tag}",
+            "value": round(served_rate, 4),
+            "unit": "img/s/chip",
+            "vs_baseline": round(served_rate / offline_rate, 4),
+            "offline_img_s": round(offline_rate, 4),
+            "idle_request_latency_s": round(idle_latency_s, 4),
+            "batch": batch,
+            "backend": jax.default_backend(),
+            "occupancy": round(stats.get("occupancy", 0.0), 4),
+            "latency_p50_s": round(stats.get("latency_p50_s", 0.0), 4),
+            "latency_p95_s": round(stats.get("latency_p95_s", 0.0), 4),
+        }
+        print(json.dumps(out))
+        return
 
     quant_drift = None
     if args.quant == "int8":
