@@ -1,16 +1,24 @@
-"""FID CLI — the in-repo completion of the reference's FID protocol.
+"""Sample-quality evaluation CLI — the in-repo completion of the
+reference's FID protocol, extended to the full DiT/ADM metric suite.
 
 The reference generates 50k samples and computes FID with an external tool
 (``/root/reference/FiT/launch_sampling_FID.sbatch:13``); this CLI is that
 tool, TPU-native: InceptionV3 pool3 features (converted torch weights,
-``fit_tpu.eval.inception``) + Frechet distance (``fit_tpu.eval.fid``).
+``fit_tpu.eval.inception``) + Frechet distance (``fit_tpu.eval.fid``),
+plus Inception Score and improved Precision/Recall
+(``fit_tpu.eval.metrics``) from the same network / the same feature pass.
 
 Usage:
   # FID between generated samples and a reference set (dir or stats .npz)
   python -m fit_tpu.cli.fid --samples-dir samples/ --reference ref_stats.npz \
       --inception-weights pt_inception-2015-12-05.pth
 
-  # precompute reference statistics once
+  # full metric suite (IS needs the checkpoint's fc head; PR needs raw
+  # reference features — save them once with --save-stats)
+  python -m fit_tpu.cli.fid --samples-dir samples/ --reference ref_stats.npz \
+      --inception-weights ... --metrics fid,is,pr
+
+  # precompute reference statistics once (raw features included for PR)
   python -m fit_tpu.cli.fid --samples-dir imagenet_val/ \
       --inception-weights ... --save-stats ref_stats.npz
 """
@@ -42,33 +50,48 @@ def _iter_images(path: str):
         yield np.transpose(img, (2, 0, 1))
 
 
-def _stats_of_dir(path: str, extractor, batch_size: int):
-    from fit_tpu.eval.fid import feature_statistics
-
-    feats, buf = [], []
+def _extract_dir(path: str, extractors: dict, batch_size: int) -> dict:
+    """One pass over a directory through every extractor in ``extractors``
+    (name -> numpy-in/numpy-out fn); returns name -> (N, D) array."""
+    out = {name: [] for name in extractors}
+    buf = []
     n = 0
+
+    def flush():
+        nonlocal n
+        batch = np.stack(buf)
+        for name, fn in extractors.items():
+            out[name].append(fn(batch))
+        n += len(buf)
+        buf.clear()
+
     for img in _iter_images(path):
         buf.append(img)
         if len(buf) == batch_size:
-            feats.append(extractor(np.stack(buf)))
-            n += len(buf)
-            buf = []
+            flush()
     if buf:
-        feats.append(extractor(np.stack(buf)))
-        n += len(buf)
+        flush()
     print(f"extracted features for {n} images from {path}")
-    return feature_statistics(np.concatenate(feats, axis=0))
+    return {name: np.concatenate(parts, axis=0) for name, parts in out.items()}
 
 
 def main():
-    parser = argparse.ArgumentParser(description="Compute FID (InceptionV3 pool3)")
+    parser = argparse.ArgumentParser(
+        description="Sample-quality metrics: FID / Inception Score / "
+        "Precision-Recall (InceptionV3)"
+    )
     parser.add_argument("--samples-dir", type=str, required=True,
                         help="directory of generated images")
     parser.add_argument("--reference", type=str, default=None,
                         help="reference image directory or precomputed stats .npz "
-                             "(with arrays mu, sigma)")
+                             "(with arrays mu, sigma; PR additionally needs feats)")
     parser.add_argument("--inception-weights", type=str, required=True,
                         help="torchvision or pytorch-fid InceptionV3 .pth/.pt")
+    parser.add_argument("--metrics", type=str, default="fid",
+                        help="comma-separated subset of fid,is,pr (default fid). "
+                             "is: Inception Score of the samples (needs the "
+                             "checkpoint's fc head). pr: improved "
+                             "Precision/Recall vs the reference set")
     parser.add_argument("--variant", type=str, default="fid",
                         choices=("fid", "torchvision"),
                         help="pooling semantics: pytorch-fid's FIDInception "
@@ -76,32 +99,67 @@ def main():
                              "stock torchvision")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--save-stats", type=str, default=None,
-                        help="write samples-dir statistics to this .npz and exit")
+                        help="write samples-dir statistics (mu, sigma, and raw "
+                             "feats for PR) to this .npz and exit")
     args = parser.parse_args()
 
-    from fit_tpu.eval.fid import frechet_distance
-    from fit_tpu.eval.inception import load_torch_inception, make_feature_extractor
+    metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+    bad = set(metrics) - {"fid", "is", "pr"}
+    if bad:
+        parser.error(f"unknown --metrics {sorted(bad)} (valid: fid,is,pr)")
 
-    extractor = make_feature_extractor(
-        load_torch_inception(args.inception_weights), variant=args.variant
+    from fit_tpu.eval.fid import feature_statistics, frechet_distance
+    from fit_tpu.eval.inception import (
+        load_torch_inception,
+        make_feature_extractor,
+        make_logits_extractor,
     )
 
-    mu1, cov1 = _stats_of_dir(args.samples_dir, extractor, args.batch_size)
+    params = load_torch_inception(args.inception_weights)
+    extractors = {"pool3": make_feature_extractor(params, variant=args.variant)}
+    if "is" in metrics:
+        extractors["probs"] = make_logits_extractor(params, variant=args.variant)
+
+    sample = _extract_dir(args.samples_dir, extractors, args.batch_size)
+    mu1, cov1 = feature_statistics(sample["pool3"])
     if args.save_stats:
-        np.savez(args.save_stats, mu=mu1, sigma=cov1)
+        np.savez(args.save_stats, mu=mu1, sigma=cov1, feats=sample["pool3"])
         print(f"saved statistics to {args.save_stats}")
         return
 
-    if not args.reference:
-        parser.error("--reference is required unless --save-stats is given")
-    if args.reference.endswith(".npz"):
-        ref = np.load(args.reference)
-        mu2, cov2 = ref["mu"], ref["sigma"]
-    else:
-        mu2, cov2 = _stats_of_dir(args.reference, extractor, args.batch_size)
+    ref_feats = None
+    mu2 = cov2 = None
+    if args.reference:
+        if args.reference.endswith(".npz"):
+            ref = np.load(args.reference)
+            mu2, cov2 = ref["mu"], ref["sigma"]
+            if "feats" in ref:
+                ref_feats = ref["feats"]
+        else:
+            ref_feats = _extract_dir(
+                args.reference, {"pool3": extractors["pool3"]}, args.batch_size
+            )["pool3"]
+            mu2, cov2 = feature_statistics(ref_feats)
+    elif "fid" in metrics or "pr" in metrics:
+        parser.error("--reference is required for fid/pr unless --save-stats "
+                     "is given")
 
-    fid = frechet_distance(mu1, cov1, mu2, cov2)
-    print(f"FID: {fid:.4f}")
+    if "fid" in metrics:
+        print(f"FID: {frechet_distance(mu1, cov1, mu2, cov2):.4f}")
+    if "is" in metrics:
+        from fit_tpu.eval.metrics import inception_score
+
+        mean, std = inception_score(sample["probs"])
+        print(f"Inception Score: {mean:.4f} +/- {std:.4f}")
+    if "pr" in metrics:
+        if ref_feats is None:
+            parser.error("pr needs raw reference features: pass a reference "
+                         "image dir, or an .npz written by this CLI's "
+                         "--save-stats (which includes feats)")
+        from fit_tpu.eval.metrics import precision_recall
+
+        p, r = precision_recall(ref_feats, sample["pool3"])
+        print(f"Precision: {p:.4f}  Recall: {r:.4f}")
 
 
 if __name__ == "__main__":

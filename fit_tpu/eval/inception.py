@@ -37,7 +37,9 @@ __all__ = [
     "convert_torch_inception",
     "load_torch_inception",
     "pool3_features",
+    "inception_logits",
     "make_feature_extractor",
+    "make_logits_extractor",
 ]
 
 _EPS = 1e-3  # torchvision BasicConv2d BatchNorm eps
@@ -202,12 +204,44 @@ def pool3_features(params: Dict, images: Array, variant: str = "fid") -> Array:
     return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (N, 2048)
 
 
+@functools.partial(jax.jit, static_argnames=("variant",))
+def inception_logits(params: Dict, images: Array, variant: str = "fid") -> Array:
+    """(N, 3, H, W) images in [0, 1] -> (N, num_classes) classifier logits.
+
+    pool3 features through the final ``fc`` layer (1000-way for torchvision
+    checkpoints, 1008-way for pytorch-fid's TF-derived
+    ``pt_inception-2015-12-05``). Softmax of these drives the Inception
+    Score (``fit_tpu.eval.metrics.inception_score``). Requires the
+    checkpoint's fc weights — :func:`convert_torch_inception` keeps them
+    when present."""
+    fc = params.get("fc")
+    if fc is None:
+        raise ValueError(
+            "params carry no fc head (checkpoint converted without fc "
+            "weights) — Inception Score needs the classifier layer"
+        )
+    feats = pool3_features(params, images, variant=variant)
+    return feats @ fc["kernel"] + fc["bias"]
+
+
 def make_feature_extractor(params: Dict, variant: str = "fid"):
     """Numpy-in/numpy-out extractor for :func:`fit_tpu.eval.fid.fid_score`."""
     params = jax.tree.map(jnp.asarray, params)
 
     def extract(batch: np.ndarray) -> np.ndarray:
         return np.asarray(pool3_features(params, jnp.asarray(batch), variant=variant))
+
+    return extract
+
+
+def make_logits_extractor(params: Dict, variant: str = "fid"):
+    """Numpy-in/numpy-out class-probability extractor (softmaxed logits) for
+    :func:`fit_tpu.eval.metrics.inception_score`."""
+    params = jax.tree.map(jnp.asarray, params)
+
+    def extract(batch: np.ndarray) -> np.ndarray:
+        lg = inception_logits(params, jnp.asarray(batch), variant=variant)
+        return np.asarray(jax.nn.softmax(lg, axis=-1))
 
     return extract
 
@@ -254,12 +288,18 @@ def _fold(sd: Dict, prefix: str) -> Dict:
 def convert_torch_inception(sd: Dict) -> Dict:
     """torchvision/pytorch-fid InceptionV3 state_dict -> params pytree.
 
-    Only the feature path up to pool3 is converted (fc / AuxLogits are
-    dropped — FID never uses them).
+    The feature path up to pool3 plus the final ``fc`` classifier (used by
+    the Inception Score; AuxLogits are dropped — no metric uses them).
     """
     params = {name: _fold(sd, name) for name in _STEM}
     for block, branches in _BLOCK_BRANCHES.items():
         params[block] = {br: _fold(sd, f"{block}.{br}") for br in branches}
+    if "fc.weight" in sd:
+        params["fc"] = {
+            # torch Linear stores (out, in); we apply feats @ kernel + bias
+            "kernel": np.transpose(np.asarray(sd["fc.weight"], np.float32)),
+            "bias": np.asarray(sd["fc.bias"], np.float32),
+        }
     return params
 
 

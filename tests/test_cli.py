@@ -228,3 +228,68 @@ def test_fid_cli_smoke(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     fid_npz = float(out.strip().split("FID:")[-1])
     np.testing.assert_allclose(fid_npz, fid_dir, rtol=1e-6)
+
+
+def test_fid_cli_full_metric_suite(tmp_path, monkeypatch, capsys):
+    """--metrics fid,is,pr: one CLI run prints all three, with IS from the
+    checkpoint's fc head and PR consuming the raw feats the --save-stats
+    npz now carries."""
+    torch = pytest.importorskip("torch")
+    Image = pytest.importorskip("PIL.Image")
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_inception import _fake_inception_sd
+
+    rng = np.random.default_rng(5)
+    sd = _fake_inception_sd()
+    sd["fc.weight"] = (rng.normal(size=(1000, 2048)) * 0.02).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    weights = tmp_path / "inception_fc.pt"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, weights)
+
+    for name, n in (("gen", 8), ("ref", 8)):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(n):
+            arr = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    from fit_tpu.cli.fid import main as fid_main
+
+    # save reference stats (must include feats for PR)
+    stats = tmp_path / "ref_stats.npz"
+    monkeypatch.setattr(sys, "argv", [
+        "fid", "--samples-dir", str(tmp_path / "ref"),
+        "--inception-weights", str(weights), "--batch-size", "4",
+        "--save-stats", str(stats),
+    ])
+    fid_main()
+    assert "feats" in np.load(stats)
+
+    monkeypatch.setattr(sys, "argv", [
+        "fid", "--samples-dir", str(tmp_path / "gen"),
+        "--reference", str(stats),
+        "--inception-weights", str(weights), "--batch-size", "4",
+        "--metrics", "fid,is,pr",
+    ])
+    fid_main()
+    out = capsys.readouterr().out
+    assert "FID:" in out and "Inception Score:" in out and "Precision:" in out
+    is_mean = float(out.split("Inception Score:")[1].split("+/-")[0])
+    assert np.isfinite(is_mean) and is_mean >= 1.0 - 1e-6
+    prec = float(out.split("Precision:")[1].split()[0])
+    rec = float(out.split("Recall:")[1].split()[0])
+    assert 0.0 <= prec <= 1.0 and 0.0 <= rec <= 1.0
+
+    # pr without raw reference features must fail loudly, not silently skip
+    bare = tmp_path / "bare_stats.npz"
+    s = np.load(stats)
+    np.savez(bare, mu=s["mu"], sigma=s["sigma"])
+    monkeypatch.setattr(sys, "argv", [
+        "fid", "--samples-dir", str(tmp_path / "gen"),
+        "--reference", str(bare),
+        "--inception-weights", str(weights), "--batch-size", "4",
+        "--metrics", "pr",
+    ])
+    with pytest.raises(SystemExit):
+        fid_main()

@@ -12,7 +12,9 @@ import torch.nn.functional as F  # noqa: E402
 
 from fit_tpu.eval.inception import (  # noqa: E402
     convert_torch_inception,
+    inception_logits,
     make_feature_extractor,
+    make_logits_extractor,
     pool3_features,
 )
 
@@ -214,6 +216,45 @@ def test_fid_variant_differs_from_torchvision():
     a = np.asarray(pool3_features(params, jnp.asarray(x), variant="fid"))
     b = np.asarray(pool3_features(params, jnp.asarray(x), variant="torchvision"))
     assert np.abs(a - b).max() > 1e-5
+
+
+def test_inception_logits_match_torch_fc_oracle():
+    """fc head (Inception Score path): pool3 @ W^T + b, torch Linear layout."""
+    sd = _fake_inception_sd()
+    rng = np.random.default_rng(7)
+    sd["fc.weight"] = (rng.normal(size=(1008, 2048)) * 0.02).astype(np.float32)
+    sd["fc.bias"] = (0.01 * rng.normal(size=(1008,))).astype(np.float32)
+    params = convert_torch_inception(sd)
+    # 299x299: the torch oracle has no input resize (pool3_features does)
+    x = rng.uniform(size=(2, 3, 299, 299)).astype(np.float32)
+
+    feats = _torch_pool3_oracle(sd, x, fid=True)
+    want = feats @ sd["fc.weight"].T + sd["fc.bias"]
+    got = np.asarray(inception_logits(params, jnp.asarray(x), variant="fid"))
+    assert got.shape == (2, 1008)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_inception_logits_requires_fc():
+    params = convert_torch_inception(_fake_inception_sd())  # no fc keys
+    x = jnp.zeros((1, 3, 75, 75), jnp.float32)
+    with pytest.raises(ValueError, match="fc"):
+        inception_logits(params, x)
+
+
+def test_logits_extractor_feeds_inception_score():
+    from fit_tpu.eval.metrics import inception_score
+
+    sd = _fake_inception_sd()
+    rng = np.random.default_rng(8)
+    sd["fc.weight"] = (rng.normal(size=(1000, 2048)) * 0.02).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    extract = make_logits_extractor(convert_torch_inception(sd))
+    probs = extract(rng.uniform(size=(4, 3, 64, 64)).astype(np.float32))
+    assert probs.shape == (4, 1000)
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)  # softmaxed
+    mean, std = inception_score(probs, splits=2)
+    assert np.isfinite(mean) and mean >= 1.0 - 1e-6
 
 
 def test_extractor_plugs_into_fid():
