@@ -8,13 +8,15 @@ executable hot across arbitrary request arrival.
 Usage:
   python -m fit_tpu.cli.serve --checkpoint_path results/checkpoints \
       --port 8000 --serve-batch-size 8 --num_sampling_steps 50 \
-      [--quant int8] [--sampler dpm]
+      [--quant int8] [--sampler dpm] [--vae-checkpoint sd-vae-ft-ema/...]
 
 Endpoints:
   POST /sample   body {"label": 3, "height": 256, "width": 256, "seed": 7}
-                 -> .npy bytes of the (C, h, w) float32 latent
-                 (decode with fit_tpu.vae; seed gives bit-reproducible
-                 results under the deterministic samplers ddim/dpm)
+                 -> .npy bytes of the (C, h, w) float32 latent, or a PNG
+                 image when the server was started with --vae-checkpoint
+                 (on-TPU decode; the reference predict_step contract).
+                 seed gives bit-reproducible results under the
+                 deterministic samplers ddim/dpm
   GET  /stats    -> JSON: served, batches, occupancy, queue depth, latency
   GET  /healthz  -> 200 "ok"
 """
@@ -66,15 +68,22 @@ def make_handler(server):
                 self._json(400, {"error": str(exc)})
                 return
             try:
-                latent = fut.result()
+                result = fut.result()
             except Exception as exc:  # noqa: BLE001 — surface batch failures
                 self._json(500, {"error": str(exc)})
                 return
             buf = io.BytesIO()
-            np.save(buf, latent)
+            if result.dtype == np.uint8:  # decoded (H, W, 3) image
+                from PIL import Image
+
+                Image.fromarray(result).save(buf, format="PNG")
+                ctype = "image/png"
+            else:
+                np.save(buf, result)
+                ctype = "application/octet-stream"
             body = buf.getvalue()
             self.send_response(200)
-            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -121,6 +130,20 @@ def main():
     model, params = load_model_and_params(
         cfg, torch_checkpoint=args.torch_checkpoint, quant=args.quant
     )
+    vae = vae_params = None
+    if cfg.vae_checkpoint:
+        # serve decoded PNGs (the reference predict_step contract) instead
+        # of raw latents — same converter path as the sample CLI
+        import jax.numpy as jnp
+
+        from fit_tpu.cli.sample import _resolve_vae_checkpoint
+        from fit_tpu.vae import AutoencoderKL, load_torch_checkpoint
+
+        vae_path = _resolve_vae_checkpoint(cfg.vae_checkpoint, cfg.vae)
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
+        vae = AutoencoderKL(dtype=dtype)
+        vae_params = load_torch_checkpoint(vae_path)
+        print(f"[serve] decoding with sd-vae ({vae_path}); /sample returns PNG")
     server = SamplingServer(
         model, params,
         batch_size=args.serve_batch_size,
@@ -129,6 +152,8 @@ def main():
         cfg_scale=cfg.cfg_scale,
         sampler=cfg.sampler,
         num_classes=cfg.num_classes,
+        vae=vae,
+        vae_params=vae_params,
     )
     if not args.no_warmup:
         print("[serve] warming up (compiling the serving executable)...")

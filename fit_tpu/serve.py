@@ -70,8 +70,12 @@ class SamplingServer:
     """Queue + worker-thread batching front-end over :class:`FiTSampler`.
 
     ``submit`` returns a ``concurrent.futures.Future`` resolving to the
-    (C, h, w) float32 latent. Decode to pixels separately (``fit_tpu.vae``),
-    matching the sampler/decoder split of the reference pipeline.
+    (C, h, w) float32 latent — or, when constructed with ``vae``/
+    ``vae_params``, to the decoded (H, W, 3) uint8 image (the reference's
+    ``predict_step`` contract: sample + ``vae.decode`` in one call,
+    ``/root/reference/FiT/train.py``). The decode runs on-TPU, batched by
+    latent shape, dispatched asynchronously right after the sampler so it
+    pipelines with the next batch.
     """
 
     def __init__(
@@ -88,6 +92,8 @@ class SamplingServer:
         max_size: int = 32,
         max_length: int = 256,
         mesh=None,
+        vae=None,
+        vae_params=None,
     ):
         self.sampler = FiTSampler(
             model,
@@ -113,6 +119,19 @@ class SamplingServer:
         self._latencies: list[float] = []
         self._batch_counter = 0
         self._nprng = np.random.default_rng(0)
+        # optional on-TPU VAE decode (reference predict_step returns pixels,
+        # /root/reference/FiT/train.py predict_step -> vae.decode): futures
+        # resolve to (H, W, 3) uint8 images instead of latents. One decode
+        # executable per distinct latent shape (bounded by the distinct
+        # request sizes, same as the RoPE tables; warmup covers them).
+        self._decode = None
+        if vae is not None:
+            if vae_params is None:
+                raise ValueError("vae given without vae_params")
+            self.vae_params = vae_params
+            self._decode = jax.jit(
+                lambda p, z: vae.apply(p, z, method=type(vae).decode)
+            )
         self._thread = threading.Thread(
             target=self._worker, name="fit-serve-worker", daemon=True
         )
@@ -226,9 +245,25 @@ class SamplingServer:
             with self._lock:
                 self._batch_counter += 1
                 loop_rng = jax.random.PRNGKey(self._batch_counter)
-            return self.sampler.sample_mixed(
+            latents = self.sampler.sample_mixed(
                 self.params, labels, sizes, loop_rng, z=z
             )
+            if self._decode is None:
+                return latents
+            # dispatch the VAE decode HERE (still async): grouped by latent
+            # shape so each distinct size decodes as one batched call, and
+            # the decode overlaps the next batch's collection/launch
+            groups: "dict[tuple, list[int]]" = {}
+            for i in range(n):
+                groups.setdefault(latents[i].shape, []).append(i)
+            out: "list" = list(latents)
+            for idxs in groups.values():
+                imgs = self._decode(
+                    self.vae_params, jnp.stack([latents[i] for i in idxs])
+                )
+                for j, i in enumerate(idxs):
+                    out[i] = imgs[j]
+            return out
         except Exception as exc:  # noqa: BLE001 — propagate to every waiter
             for req in batch:
                 if not req.future.done():
@@ -244,7 +279,15 @@ class SamplingServer:
             host = jax.device_get(list(latents[:n]))
             now = time.monotonic()
             for req, lat in zip(batch, host):
-                req.future.set_result(np.asarray(lat, np.float32))
+                if self._decode is not None:
+                    # (3, H, W) in [-1, 1] -> (H, W, 3) uint8 (the sample
+                    # CLI's save_png convention, cli/sample.py)
+                    img = np.clip((np.asarray(lat, np.float32) + 1) / 2, 0, 1)
+                    req.future.set_result(
+                        (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+                    )
+                else:
+                    req.future.set_result(np.asarray(lat, np.float32))
             with self._lock:
                 self._served += n
                 self._batches += 1

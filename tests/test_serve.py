@@ -209,3 +209,64 @@ def test_http_endpoint_end_to_end(model_params):
             assert ei.value.code == 400
         finally:
             httpd.shutdown()
+
+
+def test_vae_decode_path_returns_images_and_png(model_params):
+    """``--vae-checkpoint`` serving contract (the reference predict_step
+    returns pixels, FiT/train.py): with a VAE, futures resolve to (H, W, 3)
+    uint8 images — batched on-TPU decode grouped by latent shape — and the
+    HTTP endpoint serves a decodable PNG with Content-Type image/png."""
+    from fit_tpu.vae import AutoencoderKL
+
+    model, params = model_params
+    vae = AutoencoderKL(block_out_channels=(8, 16), latent_channels=4)
+    vae_params = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)), jax.random.PRNGKey(1)
+    )
+    with make_server(
+        model, params, max_batch_wait_s=0.1, vae=vae, vae_params=vae_params
+    ) as srv:
+        # mixed sizes: two decode shape-groups in one batch
+        f1 = srv.submit(1, 128, 128, seed=4)
+        f2 = srv.submit(2, 96, 160, seed=5)
+        f3 = srv.submit(3, 128, 128, seed=6)
+        a, b, c = (f.result(timeout=120) for f in (f1, f2, f3))
+        assert a.dtype == np.uint8 and a.shape == (32, 32, 3)
+        assert b.dtype == np.uint8 and b.shape == (24, 40, 3)
+        assert c.dtype == np.uint8 and c.shape == (32, 32, 3)
+
+        # decode matches a direct VAE call on the same seeded latent
+        lat_srv = make_server(model, params, max_batch_wait_s=0.05)
+        try:
+            lat = lat_srv.submit(1, 128, 128, seed=4).result(timeout=120)
+        finally:
+            lat_srv.close()
+        direct = np.asarray(
+            vae.apply(vae_params, jnp.asarray(lat)[None], method=AutoencoderKL.decode)
+        )[0]
+        expect = (np.clip((direct + 1) / 2, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(a, expect)
+
+        # HTTP: PNG body, image/png content type
+        from http.server import ThreadingHTTPServer
+
+        from fit_tpu.cli.serve import make_handler
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            body = json.dumps({"label": 2, "height": 128, "width": 128,
+                               "seed": 7}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/sample", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"] == "image/png"
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(resp.read())))
+            assert img.dtype == np.uint8 and img.shape == (32, 32, 3)
+        finally:
+            httpd.shutdown()
