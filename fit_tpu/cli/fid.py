@@ -5,8 +5,9 @@ The reference generates 50k samples and computes FID with an external tool
 (``/root/reference/FiT/launch_sampling_FID.sbatch:13``); this CLI is that
 tool, TPU-native: InceptionV3 pool3 features (converted torch weights,
 ``fit_tpu.eval.inception``) + Frechet distance (``fit_tpu.eval.fid``),
-plus Inception Score and improved Precision/Recall
-(``fit_tpu.eval.metrics``) from the same network / the same feature pass.
+plus sFID (spatial mixed_6/conv features), Inception Score and improved
+Precision/Recall (``fit_tpu.eval.metrics``) — every embedding computed in
+ONE network pass over the samples (``make_suite_extractor``).
 
 Usage:
   # FID between generated samples and a reference set (dir or stats .npz)
@@ -52,8 +53,9 @@ def _iter_images(path: str):
 
 def _extract_dir(path: str, extractors: dict, batch_size: int) -> dict:
     """One pass over a directory through every extractor in ``extractors``
-    (name -> numpy-in/numpy-out fn); returns name -> (N, D) array."""
-    out = {name: [] for name in extractors}
+    (name -> numpy-in/numpy-out fn; a fn may return a dict of named arrays,
+    e.g. the one-trunk-pass suite extractor); returns name -> (N, D)."""
+    out: dict = {}
     buf = []
     n = 0
 
@@ -61,7 +63,9 @@ def _extract_dir(path: str, extractors: dict, batch_size: int) -> dict:
         nonlocal n
         batch = np.stack(buf)
         for name, fn in extractors.items():
-            out[name].append(fn(batch))
+            r = fn(batch)
+            for k, v in (r.items() if isinstance(r, dict) else [(name, r)]):
+                out.setdefault(k, []).append(v)
         n += len(buf)
         buf.clear()
 
@@ -88,7 +92,9 @@ def main():
     parser.add_argument("--inception-weights", type=str, required=True,
                         help="torchvision or pytorch-fid InceptionV3 .pth/.pt")
     parser.add_argument("--metrics", type=str, default="fid",
-                        help="comma-separated subset of fid,is,pr (default fid). "
+                        help="comma-separated subset of fid,sfid,is,pr "
+                             "(default fid). sfid: spatial FID over the "
+                             "mixed_6/conv 2023-d features (ADM suite). "
                              "is: Inception Score of the samples (needs the "
                              "checkpoint's fc head). pr: improved "
                              "Precision/Recall vs the reference set")
@@ -104,48 +110,64 @@ def main():
     args = parser.parse_args()
 
     metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
-    bad = set(metrics) - {"fid", "is", "pr"}
+    bad = set(metrics) - {"fid", "sfid", "is", "pr"}
     if bad:
-        parser.error(f"unknown --metrics {sorted(bad)} (valid: fid,is,pr)")
+        parser.error(f"unknown --metrics {sorted(bad)} (valid: fid,sfid,is,pr)")
 
     from fit_tpu.eval.fid import feature_statistics, frechet_distance
-    from fit_tpu.eval.inception import (
-        load_torch_inception,
-        make_feature_extractor,
-        make_logits_extractor,
-    )
+    from fit_tpu.eval.inception import load_torch_inception, make_suite_extractor
 
     params = load_torch_inception(args.inception_weights)
-    extractors = {"pool3": make_feature_extractor(params, variant=args.variant)}
-    if "is" in metrics:
-        extractors["probs"] = make_logits_extractor(params, variant=args.variant)
+    # one trunk pass computes every requested embedding; --save-stats always
+    # includes spatial stats so a saved reference serves later sfid runs
+    want_spatial = "sfid" in metrics or bool(args.save_stats)
+    suite = make_suite_extractor(
+        params, variant=args.variant,
+        spatial=want_spatial, probs="is" in metrics,
+    )
+    extractors = {"suite": suite}
 
     sample = _extract_dir(args.samples_dir, extractors, args.batch_size)
     mu1, cov1 = feature_statistics(sample["pool3"])
+    if want_spatial:
+        mu1_s, cov1_s = feature_statistics(sample["spatial"])
     if args.save_stats:
-        np.savez(args.save_stats, mu=mu1, sigma=cov1, feats=sample["pool3"])
+        np.savez(args.save_stats, mu=mu1, sigma=cov1, feats=sample["pool3"],
+                 mu_s=mu1_s, sigma_s=cov1_s)
         print(f"saved statistics to {args.save_stats}")
         return
 
     ref_feats = None
-    mu2 = cov2 = None
+    mu2 = cov2 = mu2_s = cov2_s = None
     if args.reference:
         if args.reference.endswith(".npz"):
             ref = np.load(args.reference)
             mu2, cov2 = ref["mu"], ref["sigma"]
             if "feats" in ref:
                 ref_feats = ref["feats"]
+            if "mu_s" in ref:
+                mu2_s, cov2_s = ref["mu_s"], ref["sigma_s"]
+            elif "sfid" in metrics:
+                parser.error("sfid needs spatial reference statistics "
+                             "(mu_s/sigma_s) — regenerate the .npz with this "
+                             "CLI's --save-stats, or pass a reference image "
+                             "directory")
         else:
-            ref_feats = _extract_dir(
-                args.reference, {"pool3": extractors["pool3"]}, args.batch_size
-            )["pool3"]
+            ref = _extract_dir(
+                args.reference, {"suite": suite}, args.batch_size
+            )
+            ref_feats = ref["pool3"]
             mu2, cov2 = feature_statistics(ref_feats)
-    elif "fid" in metrics or "pr" in metrics:
-        parser.error("--reference is required for fid/pr unless --save-stats "
-                     "is given")
+            if want_spatial:
+                mu2_s, cov2_s = feature_statistics(ref["spatial"])
+    elif "fid" in metrics or "sfid" in metrics or "pr" in metrics:
+        parser.error("--reference is required for fid/sfid/pr unless "
+                     "--save-stats is given")
 
     if "fid" in metrics:
         print(f"FID: {frechet_distance(mu1, cov1, mu2, cov2):.4f}")
+    if "sfid" in metrics:
+        print(f"sFID: {frechet_distance(mu1_s, cov1_s, mu2_s, cov2_s):.4f}")
     if "is" in metrics:
         from fit_tpu.eval.metrics import inception_score
 

@@ -11,6 +11,8 @@ from fit_tpu.eval.inception import (
     convert_torch_inception,
     load_torch_inception,
     make_feature_extractor,
+    make_suite_extractor,
+    pool3_and_spatial_features,
     pool3_features,
 )
 
@@ -22,5 +24,7 @@ __all__ = [
     "convert_torch_inception",
     "load_torch_inception",
     "make_feature_extractor",
+    "make_suite_extractor",
+    "pool3_and_spatial_features",
     "pool3_features",
 ]

@@ -25,7 +25,7 @@ the network + converter against a pure-torch oracle on synthetic weights.
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +37,11 @@ __all__ = [
     "convert_torch_inception",
     "load_torch_inception",
     "pool3_features",
+    "pool3_and_spatial_features",
     "inception_logits",
     "make_feature_extractor",
     "make_logits_extractor",
+    "make_suite_extractor",
 ]
 
 _EPS = 1e-3  # torchvision BasicConv2d BatchNorm eps
@@ -168,13 +170,17 @@ def _block_e(x: Array, p: Dict, pool: str) -> Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("variant",))
-def pool3_features(params: Dict, images: Array, variant: str = "fid") -> Array:
-    """(N, 3, H, W) images in **[0, 1]** -> (N, 2048) pool3 features.
+def _trunk(params: Dict, images: Array, variant: str, want_spatial: bool):
+    """Shared trunk: (N, 3, H, W) in [0, 1] -> (pool3 (N, 2048),
+    spatial (N, 2023) or None).
 
-    Resizes to 299x299 bilinear and maps to [-1, 1] (the pytorch-fid input
-    protocol with ``normalize_input=True``). ``variant``: "fid" reproduces
-    pytorch-fid's FIDInception pooling; "torchvision" uses stock pooling.
+    ``spatial`` is the ADM evaluator's sFID embedding (guided-diffusion
+    ``evaluations/evaluator.py``: TF-graph tensor ``mixed_6/conv:0``,
+    first 7 channels, flattened NHWC). TF ``mixed_6`` is the fourth
+    17x17 C-block = torchvision ``Mixed_6d``, and its ``conv`` scope names
+    the branch1x1 relu — so the tap is ``relu(bn(conv1x1(x)))`` on
+    Mixed_6d's input (XLA CSEs it with Mixed_6d's own branch1x1):
+    (N, 17, 17, 7) -> 2023-d.
     """
     fid = variant == "fid"
     x = jnp.transpose(images.astype(jnp.float32), (0, 2, 3, 1))  # NHWC
@@ -196,12 +202,41 @@ def pool3_features(params: Dict, images: Array, variant: str = "fid") -> Array:
     x = _block_b(x, params["Mixed_6a"])
     x = _block_c(x, params["Mixed_6b"], fid)
     x = _block_c(x, params["Mixed_6c"], fid)
+    spatial = None
+    if want_spatial:
+        sp = _conv_bn(x, params["Mixed_6d"]["branch1x1"])[..., :7]
+        spatial = sp.reshape(sp.shape[0], -1)
     x = _block_c(x, params["Mixed_6d"], fid)
     x = _block_c(x, params["Mixed_6e"], fid)
     x = _block_d(x, params["Mixed_7a"])
     x = _block_e(x, params["Mixed_7b"], "avg_nopad" if fid else "avg")
     x = _block_e(x, params["Mixed_7c"], "max" if fid else "avg")
-    return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (N, 2048)
+    return jnp.mean(x, axis=(1, 2)), spatial  # adaptive avg pool (N, 2048)
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def pool3_features(params: Dict, images: Array, variant: str = "fid") -> Array:
+    """(N, 3, H, W) images in **[0, 1]** -> (N, 2048) pool3 features.
+
+    Resizes to 299x299 bilinear and maps to [-1, 1] (the pytorch-fid input
+    protocol with ``normalize_input=True``). ``variant``: "fid" reproduces
+    pytorch-fid's FIDInception pooling; "torchvision" uses stock pooling.
+    """
+    return _trunk(params, images, variant, want_spatial=False)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def pool3_and_spatial_features(
+    params: Dict, images: Array, variant: str = "fid"
+) -> Tuple[Array, Array]:
+    """One trunk pass -> (pool3 (N, 2048), spatial (N, 2023)).
+
+    ``spatial`` drives sFID (Nash et al. 2021, the DiT/ADM suite's spatial
+    Frechet distance): same Frechet formula as FID, over the mid-network
+    17x17 spatial embedding (see :func:`_trunk`) — sensitive to spatial
+    structure that global pooling erases.
+    """
+    return _trunk(params, images, variant, want_spatial=True)
 
 
 @functools.partial(jax.jit, static_argnames=("variant",))
@@ -242,6 +277,47 @@ def make_logits_extractor(params: Dict, variant: str = "fid"):
     def extract(batch: np.ndarray) -> np.ndarray:
         lg = inception_logits(params, jnp.asarray(batch), variant=variant)
         return np.asarray(jax.nn.softmax(lg, axis=-1))
+
+    return extract
+
+
+@functools.partial(
+    jax.jit, static_argnames=("variant", "want_spatial", "want_probs")
+)
+def _suite_features(params, images, variant, want_spatial, want_probs):
+    pool3, spatial = _trunk(params, images, variant, want_spatial)
+    out = {"pool3": pool3}
+    if want_spatial:
+        out["spatial"] = spatial
+    if want_probs:
+        fc = params["fc"]
+        out["probs"] = jax.nn.softmax(pool3 @ fc["kernel"] + fc["bias"], axis=-1)
+    return out
+
+
+def make_suite_extractor(
+    params: Dict,
+    variant: str = "fid",
+    spatial: bool = False,
+    probs: bool = False,
+):
+    """Numpy-in/dict-out extractor computing every requested embedding in
+    ONE trunk pass: always ``pool3`` (FID, Precision/Recall), optionally
+    ``spatial`` (sFID) and ``probs`` (Inception Score) — the whole DiT/ADM
+    metric suite from a single sweep over the 50k samples instead of one
+    network pass per metric."""
+    if probs and params.get("fc") is None:
+        raise ValueError(
+            "params carry no fc head (checkpoint converted without fc "
+            "weights) — Inception Score needs the classifier layer"
+        )
+    params = jax.tree.map(jnp.asarray, params)
+
+    def extract(batch: np.ndarray) -> Dict[str, np.ndarray]:
+        out = _suite_features(
+            params, jnp.asarray(batch), variant, spatial, probs
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
 
     return extract
 

@@ -270,26 +270,31 @@ def test_fid_cli_full_metric_suite(tmp_path, monkeypatch, capsys):
         "fid", "--samples-dir", str(tmp_path / "gen"),
         "--reference", str(stats),
         "--inception-weights", str(weights), "--batch-size", "4",
-        "--metrics", "fid,is,pr",
+        "--metrics", "fid,sfid,is,pr",
     ])
     fid_main()
     out = capsys.readouterr().out
     assert "FID:" in out and "Inception Score:" in out and "Precision:" in out
+    assert "sFID:" in out
+    sfid = float(out.split("sFID:")[1].split()[0])
+    assert np.isfinite(sfid) and sfid >= 0.0
     is_mean = float(out.split("Inception Score:")[1].split("+/-")[0])
     assert np.isfinite(is_mean) and is_mean >= 1.0 - 1e-6
     prec = float(out.split("Precision:")[1].split()[0])
     rec = float(out.split("Recall:")[1].split()[0])
     assert 0.0 <= prec <= 1.0 and 0.0 <= rec <= 1.0
 
-    # pr without raw reference features must fail loudly, not silently skip
+    # pr without raw reference features must fail loudly, not silently skip;
+    # same for sfid without spatial (mu_s/sigma_s) reference statistics
     bare = tmp_path / "bare_stats.npz"
     s = np.load(stats)
     np.savez(bare, mu=s["mu"], sigma=s["sigma"])
-    monkeypatch.setattr(sys, "argv", [
-        "fid", "--samples-dir", str(tmp_path / "gen"),
-        "--reference", str(bare),
-        "--inception-weights", str(weights), "--batch-size", "4",
-        "--metrics", "pr",
-    ])
-    with pytest.raises(SystemExit):
-        fid_main()
+    for metric in ("pr", "sfid"):
+        monkeypatch.setattr(sys, "argv", [
+            "fid", "--samples-dir", str(tmp_path / "gen"),
+            "--reference", str(bare),
+            "--inception-weights", str(weights), "--batch-size", "4",
+            "--metrics", metric,
+        ])
+        with pytest.raises(SystemExit):
+            fid_main()

@@ -15,6 +15,8 @@ from fit_tpu.eval.inception import (  # noqa: E402
     inception_logits,
     make_feature_extractor,
     make_logits_extractor,
+    make_suite_extractor,
+    pool3_and_spatial_features,
     pool3_features,
 )
 
@@ -115,7 +117,7 @@ def _fake_inception_sd(seed=0):
 # ---------------------------------------------------------------------------
 
 
-def _torch_pool3_oracle(sd_np, x_np, fid=True):
+def _torch_pool3_oracle(sd_np, x_np, fid=True, return_spatial=False):
     sd = {k: torch.tensor(v) for k, v in sd_np.items()}
 
     def cbn(x, name, stride=1, padding=0):
@@ -181,8 +183,14 @@ def _torch_pool3_oracle(sd_np, x_np, fid=True):
                      "Mixed_6a.branch3x3dbl_2", padding=1),
                  "Mixed_6a.branch3x3dbl_3", stride=2)
         x = torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
-        for n in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-            x = block_c(x, n)
+        x = block_c(x, "Mixed_6b")
+        x = block_c(x, "Mixed_6c")
+        # sFID spatial tap (ADM mixed_6/conv:0): Mixed_6d branch1x1 relu,
+        # first 7 channels, flattened NHWC
+        sp = cbn(x, "Mixed_6d.branch1x1")[:, :7]
+        spatial = sp.permute(0, 2, 3, 1).reshape(sp.shape[0], -1).numpy()
+        x = block_c(x, "Mixed_6d")
+        x = block_c(x, "Mixed_6e")
         # Mixed_7a (InceptionD)
         b3 = cbn(cbn(x, "Mixed_7a.branch3x3_1"), "Mixed_7a.branch3x3_2", stride=2)
         b7 = cbn(x, "Mixed_7a.branch7x7x3_1")
@@ -192,7 +200,8 @@ def _torch_pool3_oracle(sd_np, x_np, fid=True):
         x = torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
         x = block_e(x, "Mixed_7b", "avg_nopad" if fid else "avg")
         x = block_e(x, "Mixed_7c", "max" if fid else "avg")
-        return x.mean(dim=(2, 3)).numpy()
+        pool3 = x.mean(dim=(2, 3)).numpy()
+        return (pool3, spatial) if return_spatial else pool3
 
 
 @pytest.mark.parametrize("variant", ["fid", "torchvision"])
@@ -269,3 +278,58 @@ def test_extractor_plugs_into_fid():
     diff = fid_score(a, b, extractor=extractor, batch_size=4)
     assert same < 1e-4
     assert np.isfinite(diff)
+
+
+def test_spatial_features_match_torch_oracle():
+    """sFID embedding (ADM mixed_6/conv:0 = Mixed_6d.branch1x1 relu, first 7
+    channels, NHWC-flattened): one trunk pass must reproduce the torch
+    oracle for BOTH returned feature sets."""
+    sd = _fake_inception_sd()
+    params = convert_torch_inception(sd)
+    x = np.random.default_rng(4).uniform(size=(2, 3, 299, 299)).astype(np.float32)
+
+    want_pool3, want_spatial = _torch_pool3_oracle(sd, x, fid=True, return_spatial=True)
+    pool3, spatial = pool3_and_spatial_features(params, jnp.asarray(x), variant="fid")
+    assert spatial.shape == (2, 17 * 17 * 7)
+    np.testing.assert_allclose(np.asarray(pool3), want_pool3, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(spatial), want_spatial, atol=2e-3, rtol=1e-3)
+
+
+def test_suite_extractor_one_pass_matches_individual_extractors():
+    sd = _fake_inception_sd()
+    rng = np.random.default_rng(11)
+    sd["fc.weight"] = (rng.normal(size=(1008, 2048)) * 0.02).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1008, np.float32)
+    params = convert_torch_inception(sd)
+    batch = rng.uniform(size=(3, 3, 64, 64)).astype(np.float32)
+
+    out = make_suite_extractor(params, spatial=True, probs=True)(batch)
+    assert set(out) == {"pool3", "spatial", "probs"}
+    np.testing.assert_allclose(
+        out["pool3"], make_feature_extractor(params)(batch), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        out["probs"], make_logits_extractor(params)(batch), atol=1e-5
+    )
+    p3, sp = pool3_and_spatial_features(params, jnp.asarray(batch))
+    np.testing.assert_allclose(out["spatial"], np.asarray(sp), atol=1e-5)
+
+    # pool3-only mode returns just pool3; probs without fc fails fast
+    assert set(make_suite_extractor(params)(batch)) == {"pool3"}
+    no_fc = convert_torch_inception(_fake_inception_sd())
+    with pytest.raises(ValueError, match="fc"):
+        make_suite_extractor(no_fc, probs=True)
+
+
+def test_sfid_from_spatial_features():
+    """sFID is the Frechet distance over the spatial embedding: zero for
+    identical sets, finite and positive for disjoint ones."""
+    from fit_tpu.eval.fid import fid_from_features
+
+    sd = _fake_inception_sd()
+    extract = make_suite_extractor(convert_torch_inception(sd), spatial=True)
+    rng = np.random.default_rng(5)
+    a = extract(rng.uniform(size=(8, 3, 64, 64)).astype(np.float32))["spatial"]
+    b = extract(rng.uniform(size=(8, 3, 64, 64)).astype(np.float32))["spatial"]
+    assert fid_from_features(a, a) < 1e-4
+    assert np.isfinite(fid_from_features(a, b))
