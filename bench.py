@@ -220,8 +220,11 @@ def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256):
     params = init_params(model, head_dim)
     tx = make_optimizer()
     state = create_train_state(params, tx)
+    # donate: the XL/2 fp32 state (params+mu+nu+EMA = 10.8 GB) only fits
+    # v5e HBM if the step updates it in place; shapes stay readable for the
+    # roofline's param count after donation
     step_fn = make_train_step(
-        model.apply, create_diffusion(None), tx, grad_accum=grad_accum, donate=False
+        model.apply, create_diffusion(None), tx, grad_accum=grad_accum, donate=True
     )
     rng = np.random.default_rng(0)
     lengths = rng.integers(max(t_len // 2, 1), t_len + 1, size=batch)
@@ -319,7 +322,10 @@ def main():
         "serve = closed-loop load test of the live HTTP-serving batcher "
         "(mixed resolutions, DPM-Solver++ 25 steps)",
     )
-    ap.add_argument("--model", default="FiT-XL/2")
+    ap.add_argument("--model", default=None,
+                    help="default: FiT-XL/2 (sample/extrapolate/serve) or "
+                    "FiT-B/2 (train, the reference's training config; pass "
+                    "--model FiT-XL/2 explicitly to train-bench the flagship)")
     # throughput peaks at small batch (bandwidth-bound regime; see sweep in
     # PROGRESS notes) — batch 8 is the measured optimum on v5e. When given
     # explicitly it is ADDED to the sweep instead of being silently
@@ -349,6 +355,8 @@ def main():
         "apples-to-apples; all sweep entries are emitted in the JSON.",
     )
     args = ap.parse_args()
+    if args.model is None:
+        args.model = "FiT-B/2" if args.mode == "train" else "FiT-XL/2"
 
     on_tpu = jax.default_backend() == "tpu"
     if args.steps is None:
@@ -369,7 +377,7 @@ def main():
             args.batch = args.batch or (4 if size < 1024 else 1)
 
     if args.mode == "train":
-        model_name = "FiT-B/2" if args.model == "FiT-XL/2" else args.model
+        model_name = args.model
         batch = args.batch or (128 if on_tpu else 4)
         t_len = args.train_tokens if on_tpu else 32
         imgs_per_sec, step_s, model, params = measure_train(
