@@ -203,12 +203,14 @@ def build_train(model_name):
     )
 
 
-def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256):
+def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dtype=None):
     """Training-step throughput (images/sec/chip) on synthetic latents —
     the reference's training configuration is FiT-B/2, global batch 128,
     bf16, grad-accum 2 (FiT/launch.sbatch:13, train.py:287-288). ``t_len``
     extends the measurement to the sequence-scaled budgets (1024 = 512^2,
-    2304 = 768^2 via VisionNTK)."""
+    2304 = 768^2 via VisionNTK). ``state_dtype=bfloat16`` stores Adam
+    moments + EMA in bf16 with stochastic rounding (the single-chip XL/2
+    enabler — fp32 state alone is 10.8 GB)."""
     import numpy as np
 
     from fit_tpu.diffusion import create_diffusion
@@ -218,8 +220,8 @@ def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256):
     model = build_train(model_name)
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
-    tx = make_optimizer()
-    state = create_train_state(params, tx)
+    tx = make_optimizer(moment_dtype=state_dtype)
+    state = create_train_state(params, tx, ema_dtype=state_dtype or jnp.float32)
     # donate: the XL/2 fp32 state (params+mu+nu+EMA = 10.8 GB) only fits
     # v5e HBM if the step updates it in place; shapes stay readable for the
     # roofline's param count after donation
@@ -336,6 +338,11 @@ def main():
                     help="train-mode sequence length (1024 = 512^2 budget, "
                     "2304 = 768^2 budget via VisionNTK)")
     ap.add_argument("--train-accum", type=int, default=2)
+    ap.add_argument("--train-state-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bfloat16 = Adam moments + EMA stored bf16 via "
+                    "stochastic rounding (halves optimizer HBM; required for "
+                    "single-chip FiT-XL/2 training)")
     ap.add_argument("--image-size", type=int, default=None,
                     help="extrapolate-mode canvas (default 512; 768 -> T=2304, "
                     "1024 -> T=4096 on the K+Q-chunked grid)")
@@ -380,12 +387,15 @@ def main():
         model_name = args.model
         batch = args.batch or (128 if on_tpu else 4)
         t_len = args.train_tokens if on_tpu else 32
+        sd = jnp.bfloat16 if args.train_state_dtype == "bfloat16" else None
         imgs_per_sec, step_s, model, params = measure_train(
-            model_name, batch, grad_accum=args.train_accum, t_len=t_len
+            model_name, batch, grad_accum=args.train_accum, t_len=t_len,
+            state_dtype=sd,
         )
+        tag = " sr-bf16-state" if sd is not None else ""
         out = {
             "metric": f"train images/sec/chip {model_name} {t_len}tok bf16 "
-                      f"accum{args.train_accum}",
+                      f"accum{args.train_accum}{tag}",
             "value": round(imgs_per_sec, 2),
             "unit": "img/s/chip",
             "vs_baseline": 1.0,

@@ -55,7 +55,13 @@ class Trainer:
         )
         self.head_dim = self.model.hidden_size // self.model.num_heads
         self.diffusion = create_diffusion(None)  # 1000-step training process
-        self.tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+        self._state_dtype = {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16
+        }[cfg.optimizer_state_dtype]
+        self.tx = make_optimizer(
+            cfg.learning_rate, cfg.weight_decay,
+            moment_dtype=None if self._state_dtype == jnp.float32 else self._state_dtype,
+        )
 
         self.mesh = make_mesh(tp=cfg.tp)
         n_hosts = jax.process_count()
@@ -192,7 +198,7 @@ class Trainer:
             dummy["pos"], dummy["mask"], train=True,
         )
         params, _specs = shard_params(params, self.mesh, tp=cfg.tp > 1, fsdp=cfg.fsdp)
-        state = create_train_state(params, self.tx)
+        state = create_train_state(params, self.tx, ema_dtype=self._state_dtype)
         # every leaf must live on the mesh: scalar leaves (step, optimizer
         # count) are otherwise single-device, and an Orbax restore then mixes
         # device sets inside one jitted step ("incompatible devices")

@@ -127,7 +127,14 @@ def make_train_step(
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_ema = ema_update(state.ema_params, new_params, ema_decay)
+        # fold_in derives an independent stream for the EMA's stochastic-
+        # rounding cast (used only when the shadow is stored in bf16) without
+        # changing how `rng` is consumed by the loss path — golden streams
+        # and resume-exactness are unaffected on the fp32 path
+        new_ema = ema_update(
+            state.ema_params, new_params, ema_decay,
+            key=jax.random.fold_in(rng, 0x0E3A),
+        )
         metrics = {
             "loss": loss,
             "grad_norm": optax_global_norm(grads),

@@ -41,6 +41,10 @@ class TrainConfig:
     ema_decay: float = 0.9999
     grad_accum: int = 2
     compute_dtype: str = "bfloat16"  # 'bf16-mixed' parity
+    # "float32" (reference parity) or "bfloat16": store Adam moments + the
+    # EMA shadow in bf16 with stochastic rounding — halves optimizer HBM,
+    # unlocks single-chip FiT-XL/2 training on a 16 GB chip (train/state.py)
+    optimizer_state_dtype: str = "float32"
     # data geometry (reference hardcoded dict, train.py:220-227)
     patch_size: int = 2
     vae_scale: int = 8
