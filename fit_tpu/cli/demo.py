@@ -33,7 +33,7 @@ def main():
     from fit_tpu.models import create_fit
     from fit_tpu.sampling import FiTSampler
     from fit_tpu.train import create_train_state, make_optimizer
-    from fit_tpu.utils.checkpoint import CheckpointManager
+    from fit_tpu.utils.checkpoint import CheckpointManager, restore_train_state
 
     model = create_fit(args.model, dtype=jnp.bfloat16, scan_blocks=args.scan_blocks)
     head_dim = model.hidden_size // model.num_heads
@@ -44,7 +44,7 @@ def main():
         jnp.zeros((1, 8, head_dim)), jnp.ones((1, 8), bool), train=True,
     )
     mgr = CheckpointManager(args.checkpoint_path)
-    state, _ = mgr.restore(template=create_train_state(init_params, make_optimizer()))
+    state, _ = restore_train_state(mgr, init_params)
     if state is None:
         raise FileNotFoundError(f"no checkpoint under {args.checkpoint_path}")
 

@@ -89,8 +89,10 @@ def load_model_and_params(cfg, torch_checkpoint=None, quant="none", equalize=0):
             dummy_tokens, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 8, head_dim)), jnp.ones((1, 8), bool), train=True,
         )
+        from fit_tpu.utils.checkpoint import restore_train_state
+
         mgr = CheckpointManager(cfg.checkpoint_path)
-        state, _ = mgr.restore(template=create_train_state(init_params, make_optimizer()))
+        state, _ = restore_train_state(mgr, init_params)
         if state is None:
             raise FileNotFoundError(f"no checkpoint under {cfg.checkpoint_path}")
         params = state.ema_params if cfg.use_ema else state.params

@@ -16,7 +16,33 @@ from typing import Any, Optional
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["CheckpointManager"]
+__all__ = ["CheckpointManager", "restore_train_state"]
+
+
+def restore_train_state(mgr: "CheckpointManager", init_params):
+    """Restore a train state without knowing its optimizer-state layout.
+
+    Checkpoints written with ``--optimizer-state-dtype bfloat16`` carry a
+    different opt-state pytree (scale_by_adam_sr chain, bf16 moments + EMA)
+    than the default fp32 AdamW, so the eval/sampling CLIs try the fp32
+    template first and fall back to the SR one. Returns ``(state,
+    host_state)`` or ``(None, None)`` when no checkpoint exists.
+    """
+    import jax.numpy as jnp
+
+    from fit_tpu.train.state import create_train_state, make_optimizer
+
+    if mgr.latest_step() is None:
+        return None, None
+    try:
+        return mgr.restore(
+            template=create_train_state(init_params, make_optimizer())
+        )
+    except Exception:
+        tx = make_optimizer(moment_dtype=jnp.bfloat16)
+        return mgr.restore(
+            template=create_train_state(init_params, tx, ema_dtype=jnp.bfloat16)
+        )
 
 
 class CheckpointManager:

@@ -239,3 +239,41 @@ def test_sr_state_checkpoint_roundtrip(tmp_path):
     u1, o1 = tx.update(g, state.opt_state, state.params)
     u2, o2 = tx.update(g, restored.opt_state, restored.params)
     np.testing.assert_array_equal(np.asarray(o1[0].mu["w"]), np.asarray(o2[0].mu["w"]))
+
+
+def test_restore_train_state_detects_layout(tmp_path):
+    """The sampling/demo CLIs restore checkpoints without knowing whether
+    training used --optimizer-state-dtype bfloat16: restore_train_state
+    tries the fp32 AdamW template, then falls back to the SR layout."""
+    from fit_tpu.utils.checkpoint import CheckpointManager, restore_train_state
+
+    params = {"w": jnp.linspace(0, 1, 16, dtype=jnp.float32)}
+
+    # SR-flavored checkpoint
+    tx = make_optimizer(moment_dtype=jnp.bfloat16)
+    state = create_train_state(params, tx, ema_dtype=jnp.bfloat16)
+    mgr = CheckpointManager(str(tmp_path / "sr"), async_save=False)
+    mgr.save(3, state)
+    mgr.wait()
+    restored, _ = restore_train_state(mgr, params)
+    mgr.close()
+    assert restored is not None
+    assert restored.ema_params["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(params["w"])
+    )
+
+    # fp32 AdamW checkpoint
+    tx32 = make_optimizer()
+    state32 = create_train_state(params, tx32)
+    mgr32 = CheckpointManager(str(tmp_path / "f32"), async_save=False)
+    mgr32.save(5, state32)
+    mgr32.wait()
+    restored32, _ = restore_train_state(mgr32, params)
+    mgr32.close()
+    assert restored32.ema_params["w"].dtype == jnp.float32
+
+    # no checkpoint at all -> (None, None)
+    empty = CheckpointManager(str(tmp_path / "empty"), async_save=False)
+    assert restore_train_state(empty, params) == (None, None)
+    empty.close()
