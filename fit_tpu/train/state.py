@@ -43,7 +43,7 @@ class TrainState:
     step: jnp.ndarray  # () int32 — optimizer steps taken
     params: Any  # fp32 master params
     opt_state: Any
-    ema_params: Any  # fp32 EMA shadow (decay 0.9999)
+    ema_params: Any  # EMA shadow (decay 0.9999), fp32 or bf16-SR (ema_dtype)
 
 
 def make_optimizer(
