@@ -386,6 +386,9 @@ class Trainer:
                         "epoch": epoch + 1 if ended else epoch,
                         "batch_index": 0 if ended else batch_index,
                         "rng": np.asarray(rng, np.uint32).tolist(),
+                        # layout marker: lets restore_train_state build the
+                        # right opt-state template without probing
+                        "state_dtype": cfg.optimizer_state_dtype,
                     },
                 )
             if done:

@@ -24,25 +24,36 @@ def restore_train_state(mgr: "CheckpointManager", init_params):
 
     Checkpoints written with ``--optimizer-state-dtype bfloat16`` carry a
     different opt-state pytree (scale_by_adam_sr chain, bf16 moments + EMA)
-    than the default fp32 AdamW, so the eval/sampling CLIs try the fp32
-    template first and fall back to the SR one. Returns ``(state,
-    host_state)`` or ``(None, None)`` when no checkpoint exists.
+    than the default fp32 AdamW. The Trainer stamps ``state_dtype`` into the
+    host-state JSON, which selects the template directly; checkpoints from
+    before the marker fall back to probing fp32 first, then SR. Returns
+    ``(state, host_state)`` or ``(None, None)`` when no checkpoint exists.
     """
     import jax.numpy as jnp
 
     from fit_tpu.train.state import create_train_state, make_optimizer
 
-    if mgr.latest_step() is None:
+    step = mgr.latest_step()
+    if step is None:
         return None, None
+
+    def _template(dtype_name: str):
+        if dtype_name == "bfloat16":
+            tx = make_optimizer(moment_dtype=jnp.bfloat16)
+            return create_train_state(init_params, tx, ema_dtype=jnp.bfloat16)
+        return create_train_state(init_params, make_optimizer())
+
+    host_path = os.path.join(mgr.directory, f"host_{step}.json")
+    if os.path.exists(host_path):
+        with open(host_path) as f:
+            marker = json.load(f).get("state_dtype")
+        if marker is not None:
+            return mgr.restore(template=_template(marker))
+
     try:
-        return mgr.restore(
-            template=create_train_state(init_params, make_optimizer())
-        )
+        return mgr.restore(template=_template("float32"))
     except Exception:
-        tx = make_optimizer(moment_dtype=jnp.bfloat16)
-        return mgr.restore(
-            template=create_train_state(init_params, tx, ema_dtype=jnp.bfloat16)
-        )
+        return mgr.restore(template=_template("bfloat16"))
 
 
 class CheckpointManager:

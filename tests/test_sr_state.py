@@ -277,3 +277,67 @@ def test_restore_train_state_detects_layout(tmp_path):
     empty = CheckpointManager(str(tmp_path / "empty"), async_save=False)
     assert restore_train_state(empty, params) == (None, None)
     empty.close()
+
+
+def test_restore_train_state_honors_state_dtype_marker(tmp_path):
+    """The Trainer stamps ``state_dtype`` into the host-state JSON; with the
+    marker present restore_train_state must build the right template in ONE
+    restore call (the probe-and-fallback path costs a full failed Orbax
+    restore on multi-GB checkpoints)."""
+    from fit_tpu.utils.checkpoint import CheckpointManager, restore_train_state
+
+    params = {"w": jnp.linspace(0, 1, 16, dtype=jnp.float32)}
+    tx = make_optimizer(moment_dtype=jnp.bfloat16)
+    state = create_train_state(params, tx, ema_dtype=jnp.bfloat16)
+    mgr = CheckpointManager(str(tmp_path / "sr"), async_save=False)
+    mgr.save(3, state, host_state={"state_dtype": "bfloat16"})
+    mgr.wait()
+
+    calls = []
+    orig = mgr.restore
+    mgr.restore = lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+    restored, host = restore_train_state(mgr, params)
+    mgr.close()
+    assert len(calls) == 1, "marker present -> exactly one restore, no probing"
+    assert restored.ema_params["w"].dtype == jnp.bfloat16
+    assert host["state_dtype"] == "bfloat16"
+
+
+def test_eval_step_with_bf16_ema_params():
+    """Validation runs on state.ema_params (train/loop.py); under
+    --optimizer-state-dtype bfloat16 the shadow is stored bf16. The eval
+    loss must stay finite and match the fp32-shadow eval to bf16-storage
+    tolerance (flax promotes the bf16 params per the model's dtype rules)."""
+    from fit_tpu.diffusion import create_diffusion
+    from fit_tpu.models import FiT
+    from fit_tpu.train.step import make_eval_step
+
+    model = FiT(
+        patch_size=2, in_channels=4, hidden_size=32, depth=2, num_heads=2,
+        num_classes=4, attn_backend="xla",
+    )
+    head_dim = model.hidden_size // model.num_heads
+    b, t = 4, 16
+    rng = np.random.default_rng(1)
+    batch = {
+        "tokens": jnp.asarray(rng.normal(size=(b, t, 16)).astype(np.float32)),
+        "pos": jnp.asarray(rng.normal(size=(b, t, head_dim)).astype(np.float32)),
+        "mask": jnp.ones((b, t), bool),
+        "label": jnp.asarray(rng.integers(0, 4, size=b).astype(np.int32)),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
+        batch["tokens"][:1], jnp.zeros((1,), jnp.int32), batch["label"][:1],
+        batch["pos"][:1], batch["mask"][:1], train=True,
+    )
+    state32 = create_train_state(params, make_optimizer())
+    state16 = create_train_state(
+        params, make_optimizer(moment_dtype=jnp.bfloat16), ema_dtype=jnp.bfloat16
+    )
+    eval_step = make_eval_step(model.apply, create_diffusion(None))
+    key = jax.random.PRNGKey(9)
+    l32 = float(eval_step(state32.ema_params, batch, key))
+    l16 = float(eval_step(state16.ema_params, batch, key))
+    assert np.isfinite(l16)
+    # same params, bf16-rounded storage: ~1e-2 relative is bf16 resolution
+    np.testing.assert_allclose(l16, l32, rtol=2e-2)
