@@ -146,6 +146,12 @@ class FiT(nn.Module):
     # Param layout differs (blocks are stacked under "blocks"); convert with
     # `stack_block_params` / `unstack_block_params`.
     scan_blocks: bool = False
+    # Sequence (context) parallelism: a jax.sharding.Mesh whose `seq_axis`
+    # axis shards the TOKEN dim of every activation; attention swaps tokens
+    # for heads with two all-to-alls (parallel.sequence, Ulysses pattern).
+    # Requires pos_kind="rotate" and T divisible by the seq-axis size.
+    seq_mesh: Any = None
+    seq_axis: str = "seq"
 
     @property
     def out_channels(self) -> int:
@@ -173,6 +179,26 @@ class FiT(nn.Module):
             dtype=self.dtype,
             name="x_embedder",
         )(x)
+        if self.seq_mesh is not None:
+            # pin the token axis onto the seq mesh axis at the pipeline head;
+            # GSPMD propagates it through every token-wise op from here.
+            # Axis-divisibility is checked per-dim so non-dividing shapes
+            # (model.init at batch 1, odd eval batches) skip that dim's
+            # constraint instead of failing to partition.
+            assert self.pos_kind == "rotate", "sequence parallelism needs RoPE"
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from fit_tpu.parallel.mesh import DATA_AXIS as _DATA
+
+            shape = dict(self.seq_mesh.shape)
+            spec = _P(
+                _DATA if x.shape[0] % shape.get(_DATA, 1) == 0 else None,
+                self.seq_axis if x.shape[1] % shape.get(self.seq_axis, 1) == 0 else None,
+                None,
+            )
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.seq_mesh, spec)
+            )
         if self.pos_kind == "absolute":
             x = x + pos.astype(x.dtype)
             freqs_cis = None
@@ -196,7 +222,9 @@ class FiT(nn.Module):
                 and fused_supported(t_len)
                 and (jax.default_backend() == "tpu" or self.attn_backend == "fused")
             )
-            if use_fused:
+            if use_fused or self.seq_mesh is not None:
+                # SP always rides the cos/sin-table path: the Ulysses wrapper
+                # picks fused-vs-xla per shard (models.layers.SelfAttention)
                 freqs_cis = split_rope_tables(pos)
 
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(t)
@@ -219,6 +247,8 @@ class FiT(nn.Module):
             dtype=self.dtype,
             quant=self.quant,
             calib=self.calib,
+            seq_mesh=self.seq_mesh,
+            seq_axis=self.seq_axis,
         )
         if self.remat == "dots":
             block_cls = nn.remat(

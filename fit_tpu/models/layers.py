@@ -312,6 +312,12 @@ class SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     quant: str = "none"
     calib: bool = False  # sow int8-feed absmax (ops.equalize calibration)
+    # sequence parallelism: a jax.sharding.Mesh with a `seq_axis` axis routes
+    # the attention sublayer through the Ulysses all-to-all wrapper
+    # (parallel.sequence) — tokens sharded everywhere else, heads sharded
+    # inside attention. None = no SP (the default single-sequence path).
+    seq_mesh: Any = None
+    seq_axis: str = "seq"
 
     def _sow_proj_in(self, out) -> None:
         if self.calib:
@@ -351,6 +357,38 @@ class SelfAttention(nn.Module):
             lengths = (
                 mask_to_lengths(mask) if mask is not None else jnp.full((b,), n, jnp.int32)
             )
+            use_sp = False
+            if self.seq_mesh is not None:
+                # static geometry gate: model.init (batch 1) and odd eval
+                # batches fall back to the single-sequence path — same
+                # modules/params, only the attention data movement differs
+                msh = dict(self.seq_mesh.shape)
+                sp_sz = msh.get(self.seq_axis, 1)
+                use_sp = (
+                    n % sp_sz == 0
+                    and b % msh.get("data", 1) == 0
+                    and (self.num_heads // msh.get("model", 1)) % sp_sz == 0
+                )
+            if use_sp:
+                # Ulysses sequence parallelism: tokens stay sharded over the
+                # seq axis outside attention; two all-to-alls swap tokens for
+                # heads around the (unchanged) kernel. parallel.sequence.
+                assert self.quant == "none", "SP + int8 serving unsupported"
+                from fit_tpu.ops.fused_attention import fused_supported
+                from fit_tpu.parallel.sequence import ulysses_attention
+
+                on_tpu = jax.default_backend() == "tpu"
+                inner = (
+                    "fused"
+                    if (self.attn_backend == "fused" or on_tpu) and fused_supported(n)
+                    else "xla"
+                )
+                out = ulysses_attention(
+                    qkv, cos, sin, lengths, d**-0.5, d, self.seq_mesh,
+                    seq_axis=self.seq_axis, inner=inner,
+                )
+                self._sow_proj_in(out)
+                return _dense(self.dim, self.dtype, "proj", self.quant)(out)
             # The natural kernel's grid is (B,) — one program per batch row —
             # so its DMA pipeline only hides latency once the row count or
             # per-row work is large. Measured on v5e with the batched-heads
@@ -427,6 +465,8 @@ class FiTBlock(nn.Module):
     dtype: Dtype = jnp.float32
     quant: str = "none"
     calib: bool = False  # sow int8-feed absmax (ops.equalize calibration)
+    seq_mesh: Any = None  # sequence parallelism — see SelfAttention
+    seq_axis: str = "seq"
 
     def _sow(self, name: str, x) -> None:
         if self.calib and not isinstance(x, tuple):
@@ -461,6 +501,8 @@ class FiTBlock(nn.Module):
             dtype=self.dtype,
             quant=self.quant,
             calib=self.calib,
+            seq_mesh=self.seq_mesh,
+            seq_axis=self.seq_axis,
             name="attn",
         )
         if self.quant == "int8" and _fused_epilogue(x):

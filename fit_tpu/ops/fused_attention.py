@@ -71,6 +71,29 @@ NEG_INF = float("-inf")
 LOG2_E = 1.4426950408889634  # log2(e): softmax via exp2 (VPU-native)
 
 
+_FORCE_RAW_DEPTH = 0  # trace-time: >0 inside force_raw_kernel_calls()
+
+
+def force_raw_kernel_calls():
+    """Context manager: route kernel calls traced inside it past the GSPMD
+    custom_partitioning wrappers. Used by code that is ALREADY per-shard —
+    a ``shard_map`` body (``parallel.sequence``, ``parallel.pipeline``)
+    owns its collectives explicitly, so the jit-level partitioning contract
+    would be nothing but an unfused call boundary there."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _FORCE_RAW_DEPTH
+        _FORCE_RAW_DEPTH += 1
+        try:
+            yield
+        finally:
+            _FORCE_RAW_DEPTH -= 1
+
+    return _ctx()
+
+
 def _use_partition_contract() -> bool:
     """Route kernel calls through the custom_partitioning wrappers only when
     partitioning is possible at all. The wrapper is a call boundary XLA does
@@ -82,6 +105,8 @@ def _use_partition_contract() -> bool:
     Override with $FIT_TPU_KERNEL_PARTITION = always | never | auto."""
     import os
 
+    if _FORCE_RAW_DEPTH > 0:
+        return False
     v = os.environ.get("FIT_TPU_KERNEL_PARTITION", "auto")
     if v in ("0", "never"):
         return False
@@ -1759,9 +1784,13 @@ _qkv_backward_chunked_p = _shard_batch_model(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _qkv_rope_core(qkv3, cos, sin, lengths, scale, head_dim):
-    fwd = _qkv_forward_p if _use_partition_contract() else _qkv_forward
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _qkv_rope_core(qkv3, cos, sin, lengths, scale, head_dim, partition):
+    # `partition` is STATIC and decided at the call site (trace time of the
+    # forward) so the backward rule — which may trace outside a
+    # force_raw_kernel_calls() block, e.g. during shard_map transposition —
+    # takes the same raw/partitioned route as its forward.
+    fwd = _qkv_forward_p if partition else _qkv_forward
     return fwd(qkv3, cos, sin, lengths, scale, head_dim)
 
 
@@ -1779,7 +1808,9 @@ def qkv_rope_flash_attention(qkv, cos, sin, lengths, scale, num_heads):
         b, t, w = qkv.shape
         qkv = qkv.reshape(b, t, 3, w // 3)
     head_dim = qkv.shape[-1] // num_heads
-    return _qkv_rope_core(qkv, cos, sin, lengths, scale, head_dim)
+    return _qkv_rope_core(
+        qkv, cos, sin, lengths, scale, head_dim, _use_partition_contract()
+    )
 
 
 def _chunked_bwd_supported(t: int) -> bool:
@@ -1792,28 +1823,26 @@ def _chunked_bwd_supported(t: int) -> bool:
     return jax.default_backend() != "tpu" or t <= 4096
 
 
-def _qkv_fwd(qkv3, cos, sin, lengths, scale, head_dim):
+def _qkv_fwd(qkv3, cos, sin, lengths, scale, head_dim, partition):
     t = qkv3.shape[1]
     if t > _chunk_threshold() and not _chunked_bwd_supported(t):
         # T too large for the Pallas backward: plain forward, XLA-bwd route
-        fwd = _qkv_forward_p if _use_partition_contract() else _qkv_forward
+        fwd = _qkv_forward_p if partition else _qkv_forward
         out = fwd(qkv3, cos, sin, lengths, scale, head_dim)
         return out, (qkv3, cos, sin, lengths)
     if t > _chunk_threshold():
         # chunked regime: save the forward output (free — it IS the primal
         # result) + the per-row log2-sum-exp so the backward recomputes
         # probabilities chunk-by-chunk with no second online pass
-        fwd_lse = (
-            _qkv_forward_lse_p if _use_partition_contract() else _qkv_forward_chunked
-        )
+        fwd_lse = _qkv_forward_lse_p if partition else _qkv_forward_chunked
         out, lse = fwd_lse(qkv3, cos, sin, lengths, scale, head_dim, True)
         return out, (qkv3, cos, sin, lengths, out, lse)
-    fwd = _qkv_forward_p if _use_partition_contract() else _qkv_forward
+    fwd = _qkv_forward_p if partition else _qkv_forward
     out = fwd(qkv3, cos, sin, lengths, scale, head_dim)
     return out, (qkv3, cos, sin, lengths)
 
 
-def _qkv_bwd(scale, head_dim, res, g):
+def _qkv_bwd(scale, head_dim, partition, res, g):
     import os
 
     if len(res) == 6:  # chunked regime (t > threshold), lse saved
@@ -1821,16 +1850,13 @@ def _qkv_bwd(scale, head_dim, res, g):
         if os.environ.get("FIT_TPU_PALLAS_BWD", "auto") == "never":
             dqkv = _qkv_xla_bwd(qkv3, g, cos, sin, lengths, scale, head_dim)
         else:
-            bwd_c = (
-                _qkv_backward_chunked_p if _use_partition_contract()
-                else _qkv_backward_chunked
-            )
+            bwd_c = _qkv_backward_chunked_p if partition else _qkv_backward_chunked
             dqkv = bwd_c(qkv3, g, out, lse, cos, sin, lengths, scale, head_dim)
         return dqkv, None, None, None
     qkv3, cos, sin, lengths = res
     t = qkv3.shape[1]
     if _use_pallas_bwd(t):
-        bwd = _qkv_backward_p if _use_partition_contract() else _qkv_backward
+        bwd = _qkv_backward_p if partition else _qkv_backward
         dqkv = bwd(qkv3, g, cos, sin, lengths, scale, head_dim)
     else:
         dqkv = _qkv_xla_bwd(qkv3, g, cos, sin, lengths, scale, head_dim)

@@ -1,21 +1,26 @@
-"""Mesh / sharding layer (DP, FSDP, TP over jax.sharding)."""
+"""Mesh / sharding layer (DP, FSDP, TP, SP over jax.sharding)."""
 
 from fit_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    SEQ_AXIS,
     batch_sharding,
     make_mesh,
     param_partition_spec,
     replicated,
     shard_params,
 )
+from fit_tpu.parallel.sequence import token_spec, ulysses_attention
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "SEQ_AXIS",
     "batch_sharding",
     "make_mesh",
     "param_partition_spec",
     "replicated",
     "shard_params",
+    "token_spec",
+    "ulysses_attention",
 ]

@@ -34,6 +34,7 @@ __all__ = [
 ]
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
@@ -41,19 +42,27 @@ def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    sp: int = 1,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh. ``dp`` defaults to n_devices // tp.
+    """Build a ('data'[, 'seq'], 'model') mesh. ``dp`` defaults to
+    n_devices // (sp * tp). The 'seq' axis (sequence/context parallelism,
+    ``parallel.sequence``) is only materialized when ``sp > 1`` so existing
+    2-axis specs and tests are untouched.
 
     On multi-host slices, ``jax.devices()`` is globally ordered so the model
-    axis lands on adjacent devices (fastest ICI hops) and data-parallel
-    replicas span hosts.
+    axis lands on adjacent devices (fastest ICI hops), the seq axis next
+    (its all-to-alls are the second-chattiest), and data-parallel replicas
+    span hosts.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+        assert n % (tp * sp) == 0, f"{n} devices not divisible by sp*tp={sp * tp}"
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"dp({dp}) * sp({sp}) * tp({tp}) != devices({n})"
+    if sp > 1:
+        arr = np.array(devices).reshape(dp, sp, tp)
+        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     arr = np.array(devices).reshape(dp, tp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

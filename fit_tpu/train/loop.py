@@ -45,6 +45,7 @@ class Trainer:
         cfg = config
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
         remat = cfg.remat if cfg.remat is not None else (cfg.packing == "pad")
+        self.mesh = make_mesh(tp=cfg.tp, sp=cfg.sp)
         self.model = create_fit(
             cfg.model,
             num_classes=cfg.num_classes,
@@ -52,6 +53,9 @@ class Trainer:
             dtype=dtype,
             remat=remat,
             scan_blocks=cfg.scan_blocks,
+            # sequence parallelism: the model pins token-axis shardings and
+            # routes attention through the Ulysses wrapper (parallel.sequence)
+            seq_mesh=self.mesh if cfg.sp > 1 else None,
         )
         self.head_dim = self.model.hidden_size // self.model.num_heads
         self.diffusion = create_diffusion(None)  # 1000-step training process
@@ -63,7 +67,6 @@ class Trainer:
             moment_dtype=None if self._state_dtype == jnp.float32 else self._state_dtype,
         )
 
-        self.mesh = make_mesh(tp=cfg.tp)
         n_hosts = jax.process_count()
         self.host_id = jax.process_index()
 
@@ -249,31 +252,45 @@ class Trainer:
         batch_axis = 1 if accum > 1 else 0
         b = next(iter(dev.values())).shape[batch_axis]
 
+        def spec_for(name: str, ndim: int) -> P:
+            axes: list = [None] * ndim
+            axes[batch_axis] = "data"
+            # sequence parallelism: token-axis arrays additionally shard
+            # over 'seq' (tokens (..., B, T, D), pos (..., B, T, d),
+            # mask (..., B, T)); per-sample arrays (label, t, t_weight)
+            # replicate over it
+            if cfg.sp > 1 and name in ("tokens", "pos", "mask"):
+                axes[batch_axis + 1] = "seq"
+            return P(*axes)
+
         if jax.process_count() > 1:
             # multi-host: each process holds a DIFFERENT host-local shard of
             # the global batch (the loader shards per host, see __init__), so
             # assemble a global jax.Array from the per-process pieces —
             # device_put would wrongly treat the local array as the global
             # value (the Lightning-DDP capability, reference train.py:283)
-            spec = P(*([None] * batch_axis + ["data"]))
-            sharding = NamedSharding(self.mesh, spec)
-            return jax.tree.map(
-                lambda x: jax.make_array_from_process_local_data(sharding, x), dev
-            )
+            return {
+                k: jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, spec_for(k, x.ndim)), x
+                )
+                for k, x in dev.items()
+            }
 
         # single host: shard the (micro)batch axis over data
         if b % dp == 0:
-            spec = P(*([None] * batch_axis + ["data"]))
-        elif cfg.allow_batch_replication:
-            spec = P()  # tiny test batches, explicitly opted in
-        else:
-            raise ValueError(
-                f"(micro)batch {b} does not divide the data axis (dp={dp}): "
-                "this would silently replicate the batch on every device "
-                f"(~{dp}x throughput loss). Fix global_batch_size/grad_accum "
-                "or set allow_batch_replication=True."
-            )
-        return jax.device_put(dev, NamedSharding(self.mesh, spec))
+            return {
+                k: jax.device_put(x, NamedSharding(self.mesh, spec_for(k, x.ndim)))
+                for k, x in dev.items()
+            }
+        if cfg.allow_batch_replication:
+            # tiny test batches, explicitly opted in
+            return jax.device_put(dev, NamedSharding(self.mesh, P()))
+        raise ValueError(
+            f"(micro)batch {b} does not divide the data axis (dp={dp}): "
+            "this would silently replicate the batch on every device "
+            f"(~{dp}x throughput loss). Fix global_batch_size/grad_accum "
+            "or set allow_batch_replication=True."
+        )
 
     def _device_prefetched(self, batches, depth: int = 2):
         """Yield ``(device_batch, host_batch)`` with device transfers enqueued

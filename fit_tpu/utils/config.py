@@ -59,6 +59,11 @@ class TrainConfig:
     # parallelism
     tp: int = 1
     fsdp: bool = False
+    # sequence (context) parallelism: shard the TOKEN axis over `sp` devices
+    # (parallel.sequence, Ulysses all-to-all). Requires T % sp == 0 and
+    # (num_heads / tp) % sp == 0; the per-chip memory of a long-T step drops
+    # by sp. 1 = off.
+    sp: int = 1
     # permit a (micro)batch that doesn't divide the data axis to fall back to
     # full replication instead of erroring. Off by default: on a real mesh
     # that fallback is a silent ~dp x throughput loss from a misconfigured
