@@ -660,7 +660,7 @@ _backward_p = _shard_over_batch(
 )
 
 
-def _forward_bthd(q, k, v, cos, sin, lengths, scale):
+def _forward_bthd(q, k, v, cos, sin, lengths, scale, partition=None):
     import os
 
     # "transpose" (default): XLA-side transposes around the (B, H, T, d)
@@ -673,25 +673,32 @@ def _forward_bthd(q, k, v, cos, sin, lengths, scale):
         out = _forward_direct(q, k, v, cos, sin, lengths, scale)
         return out.transpose(0, 2, 1, 3)
     qh, kh, vh = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
-    fwd = _forward_p if _use_partition_contract() else _forward
+    if partition is None:
+        partition = _use_partition_contract()
+    fwd = _forward_p if partition else _forward
     out = fwd(qh, kh, vh, cos, sin, lengths, scale)
     return out.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _rope_flash_core(q, k, v, cos, sin, lengths, scale):
-    return _forward_bthd(q, k, v, cos, sin, lengths, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _rope_flash_core(q, k, v, cos, sin, lengths, scale, partition):
+    return _forward_bthd(q, k, v, cos, sin, lengths, scale, partition)
 
 
 def rope_flash_attention(q, k, v, cos, sin, lengths, scale):
     """Fused RoPE + masked attention. q/k/v: (B, T, H, d); cos/sin: (B, T, d)
     fp32 pair-duplicated tables (see :func:`split_rope_tables`); lengths:
-    (B,) int32 prefix-valid lengths. Returns (B, T, H, d) in q's dtype."""
-    return _rope_flash_core(q, k, v, cos, sin, lengths, scale)
+    (B,) int32 prefix-valid lengths. Returns (B, T, H, d) in q's dtype.
+
+    The GSPMD-contract choice is frozen STATICALLY at forward-trace time
+    (like the qkv family) so a backward traced later — e.g. during shard_map
+    transposition — takes the same raw/partitioned route.
+    """
+    return _rope_flash_core(q, k, v, cos, sin, lengths, scale, _use_partition_contract())
 
 
-def _fwd(q, k, v, cos, sin, lengths, scale):
-    out = _forward_bthd(q, k, v, cos, sin, lengths, scale)
+def _fwd(q, k, v, cos, sin, lengths, scale, partition):
+    out = _forward_bthd(q, k, v, cos, sin, lengths, scale, partition)
     return out, (q, k, v, cos, sin, lengths)
 
 
@@ -738,12 +745,12 @@ def _use_pallas_bwd(t: int) -> bool:
     return 256 <= t <= 1024
 
 
-def _bwd(scale, res, g):
+def _bwd(scale, partition, res, g):
     q, k, v, cos, sin, lengths = res
     t = q.shape[1]
     if _use_pallas_bwd(t):
         qh, kh, vh, gh = (a.transpose(0, 2, 1, 3) for a in (q, k, v, g))
-        bwd = _backward_p if _use_partition_contract() else _backward
+        bwd = _backward_p if partition else _backward
         dq, dk, dv = bwd(qh, kh, vh, gh, cos, sin, lengths, scale)
         return (
             dq.transpose(0, 2, 1, 3),

@@ -3,6 +3,7 @@
 from fit_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    PIPE_AXIS,
     SEQ_AXIS,
     batch_sharding,
     make_mesh,
@@ -10,12 +11,16 @@ from fit_tpu.parallel.mesh import (
     replicated,
     shard_params,
 )
+from fit_tpu.parallel.pipeline import make_pipelined_apply, pipelined_apply
 from fit_tpu.parallel.sequence import token_spec, ulysses_attention
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
     "SEQ_AXIS",
+    "make_pipelined_apply",
+    "pipelined_apply",
     "batch_sharding",
     "make_mesh",
     "param_partition_spec",

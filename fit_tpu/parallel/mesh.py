@@ -36,6 +36,7 @@ __all__ = [
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
@@ -43,28 +44,37 @@ def make_mesh(
     tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
     sp: int = 1,
+    pp: int = 1,
 ) -> Mesh:
-    """Build a ('data'[, 'seq'], 'model') mesh. ``dp`` defaults to
-    n_devices // (sp * tp). The 'seq' axis (sequence/context parallelism,
-    ``parallel.sequence``) is only materialized when ``sp > 1`` so existing
-    2-axis specs and tests are untouched.
+    """Build a (['pipe',] 'data'[, 'seq'], 'model') mesh. ``dp`` defaults to
+    n_devices // (pp * sp * tp). The 'seq' axis (sequence/context
+    parallelism, ``parallel.sequence``) and the 'pipe' axis (GPipe
+    microbatch pipelining, ``parallel.pipeline``) are only materialized when
+    their factor is > 1, so existing 2-axis specs and tests are untouched.
 
     On multi-host slices, ``jax.devices()`` is globally ordered so the model
     axis lands on adjacent devices (fastest ICI hops), the seq axis next
-    (its all-to-alls are the second-chattiest), and data-parallel replicas
-    span hosts.
+    (its all-to-alls are the second-chattiest), data-parallel replicas
+    next, and pipeline stages outermost (one ppermute hop per tick — the
+    cheapest pattern, fine across the slowest links).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (tp * sp) == 0, f"{n} devices not divisible by sp*tp={sp * tp}"
-        dp = n // (tp * sp)
-    assert dp * tp * sp == n, f"dp({dp}) * sp({sp}) * tp({tp}) != devices({n})"
+        assert n % (pp * tp * sp) == 0, (
+            f"{n} devices not divisible by pp*sp*tp={pp * sp * tp}"
+        )
+        dp = n // (pp * tp * sp)
+    assert dp * tp * sp * pp == n, (
+        f"pp({pp}) * dp({dp}) * sp({sp}) * tp({tp}) != devices({n})"
+    )
+    dims = [(PIPE_AXIS, pp)] if pp > 1 else []
+    dims.append((DATA_AXIS, dp))
     if sp > 1:
-        arr = np.array(devices).reshape(dp, sp, tp)
-        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
-    arr = np.array(devices).reshape(dp, tp)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        dims.append((SEQ_AXIS, sp))
+    dims.append((MODEL_AXIS, tp))
+    arr = np.array(devices).reshape([d for _, d in dims])
+    return Mesh(arr, tuple(name for name, _ in dims))
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,10 @@ class Trainer:
         cfg = config
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
         remat = cfg.remat if cfg.remat is not None else (cfg.packing == "pad")
-        self.mesh = make_mesh(tp=cfg.tp, sp=cfg.sp)
+        self.mesh = make_mesh(tp=cfg.tp, sp=cfg.sp, pp=cfg.pp)
+        if cfg.pp > 1:
+            assert cfg.tp == 1 and cfg.sp == 1, "pp composes with dp only"
+            assert cfg.scan_blocks, "pipeline parallelism needs scan_blocks"
         self.model = create_fit(
             cfg.model,
             num_classes=cfg.num_classes,
@@ -116,11 +119,20 @@ class Trainer:
             cfg.global_seed * 9973 + 17 + self.host_id
         )
 
+        apply_fn = self.model.apply
+        if cfg.pp > 1:
+            # pipeline parallelism: the block stack streams over the 'pipe'
+            # mesh axis (parallel.pipeline); embedders/final stay replicated
+            from fit_tpu.parallel.pipeline import make_pipelined_apply
+
+            apply_fn = make_pipelined_apply(
+                self.model, self.mesh, microbatches=cfg.pp_microbatches or cfg.pp
+            )
         self.train_step = make_train_step(
-            self.model.apply, self.diffusion, self.tx,
+            apply_fn, self.diffusion, self.tx,
             ema_decay=cfg.ema_decay, grad_accum=cfg.grad_accum,
         )
-        self.eval_step = make_eval_step(self.model.apply, self.diffusion)
+        self.eval_step = make_eval_step(apply_fn, self.diffusion)
         self.ckpt = CheckpointManager(os.path.join(cfg.results_dir, "checkpoints"))
         # persist the full config alongside checkpoints (the reference's
         # Lightning save_hyperparameters equivalent, train.py:40): sampling

@@ -64,6 +64,13 @@ class TrainConfig:
     # (num_heads / tp) % sp == 0; the per-chip memory of a long-T step drops
     # by sp. 1 = off.
     sp: int = 1
+    # pipeline parallelism: stream the block stack over `pp` stages
+    # (parallel.pipeline, GPipe). Requires scan_blocks and depth % pp == 0;
+    # composes with dp only (tp/sp inside a stage are not wired). 1 = off.
+    pp: int = 1
+    # GPipe microbatches per (grad-accum) micro-step; 0 = pp (the minimum
+    # sensible; raise to shrink the (pp-1)/(m+pp-1) bubble)
+    pp_microbatches: int = 0
     # permit a (micro)batch that doesn't divide the data axis to fall back to
     # full replication instead of erroring. Off by default: on a real mesh
     # that fallback is a silent ~dp x throughput loss from a misconfigured
