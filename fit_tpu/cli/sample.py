@@ -58,6 +58,9 @@ def load_model_and_params(cfg, torch_checkpoint=None, quant="none", equalize=0):
     model = create_fit(
         cfg.model, num_classes=cfg.num_classes, attn_backend=cfg.attn_backend,
         dtype=dtype, scan_blocks=cfg.scan_blocks,
+        ffn=getattr(cfg, "ffn", "swiglu"),
+        moe_experts=getattr(cfg, "moe_experts", 8),
+        moe_capacity=getattr(cfg, "moe_capacity", 1.25),
     )
 
     from fit_tpu.ops.quant import is_quantized_artifact

@@ -6,6 +6,7 @@ from fit_tpu.models.convert import (
 )
 from fit_tpu.models.dit import DiT, DiT_models, create_dit
 from fit_tpu.models.fit import FiT, FiT_models, create_fit
+from fit_tpu.models.moe import MoeSwiGLU
 from fit_tpu.models.layers import (
     FinalLayer,
     FiTBlock,
@@ -32,6 +33,7 @@ __all__ = [
     "FiTBlock",
     "GeluMlp",
     "LabelEmbedder",
+    "MoeSwiGLU",
     "SelfAttention",
     "SwiGLU",
     "TimestepEmbedder",

@@ -152,6 +152,13 @@ class FiT(nn.Module):
     # Requires pos_kind="rotate" and T divisible by the seq-axis size.
     seq_mesh: Any = None
     seq_axis: str = "seq"
+    # ffn="moe": Switch top-1 mixture of SwiGLU experts (models.moe) —
+    # num_experts x FFN params at ~1x per-token FLOPs. ep_mesh (a mesh with
+    # an 'expert' axis) enables expert parallelism; the load-balance aux
+    # loss is sown into the "moe_aux" collection (see train.step).
+    moe_experts: int = 8
+    moe_capacity: float = 1.25
+    ep_mesh: Any = None
 
     @property
     def out_channels(self) -> int:
@@ -249,6 +256,9 @@ class FiT(nn.Module):
             calib=self.calib,
             seq_mesh=self.seq_mesh,
             seq_axis=self.seq_axis,
+            moe_experts=self.moe_experts,
+            moe_capacity=self.moe_capacity,
+            ep_mesh=self.ep_mesh,
         )
         if self.remat == "dots":
             block_cls = nn.remat(
@@ -262,8 +272,9 @@ class FiT(nn.Module):
         if self.scan_blocks:
             scan_cls = nn.scan(
                 _ScanBlockBody,
-                # "calib" stacks each layer's sown absmax to (depth, C)
-                variable_axes={"params": 0, "calib": 0},
+                # "calib" stacks each layer's sown absmax to (depth, C);
+                # "moe_aux" stacks each layer's load-balance loss to (depth,)
+                variable_axes={"params": 0, "calib": 0, "moe_aux": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.depth,

@@ -467,6 +467,11 @@ class FiTBlock(nn.Module):
     calib: bool = False  # sow int8-feed absmax (ops.equalize calibration)
     seq_mesh: Any = None  # sequence parallelism — see SelfAttention
     seq_axis: str = "seq"
+    # ffn="moe" (models.moe.MoeSwiGLU): Switch top-1 mixture of SwiGLU
+    # experts; ep_mesh carries the 'expert' sharding axis
+    moe_experts: int = 8
+    moe_capacity: float = 1.25
+    ep_mesh: Any = None
 
     def _sow(self, name: str, x) -> None:
         if self.calib and not isinstance(x, tuple):
@@ -521,6 +526,7 @@ class FiTBlock(nn.Module):
             freqs_cis=freqs_cis,
         )
 
+        ffn_takes_mask = False
         if self.ffn == "swiglu":
             hidden = int(self.hidden_size * self.mlp_ratio * 2 / 3)
             ffn = SwiGLU(
@@ -532,6 +538,19 @@ class FiTBlock(nn.Module):
             ffn = GeluMlp(
                 hidden, self.hidden_size, dtype=self.dtype, quant=self.quant, name="ffn"
             )
+        elif self.ffn == "moe":
+            # Switch top-1 MoE over SwiGLU experts (models.moe): the mask
+            # keeps padded tokens out of routing and expert capacity
+            assert self.quant == "none", "moe + int8 serving unsupported"
+            from fit_tpu.models.moe import MoeSwiGLU
+
+            hidden = int(self.hidden_size * self.mlp_ratio * 2 / 3)
+            ffn = MoeSwiGLU(
+                self.moe_experts, hidden, self.hidden_size,
+                capacity_factor=self.moe_capacity, dtype=self.dtype,
+                ep_mesh=self.ep_mesh, name="ffn",
+            )
+            ffn_takes_mask = True
         else:
             raise ValueError(f"unsupported ffn `{self.ffn}`")
         if self.quant == "int8" and _fused_epilogue(x):
@@ -541,7 +560,8 @@ class FiTBlock(nn.Module):
         else:
             ffn_in = modulate(layer_norm_fp32(x), shift_mlp, scale_mlp)
         self._sow("ffn_in", ffn_in)
-        x = x + gate_mlp[:, None, :] * ffn(ffn_in)
+        out = ffn(ffn_in, mask) if ffn_takes_mask else ffn(ffn_in)
+        x = x + gate_mlp[:, None, :] * out
         return x
 
 

@@ -1,0 +1,157 @@
+"""Mixture-of-Experts SwiGLU FFN with expert parallelism (GShard pattern).
+
+Beyond-reference capability (the reference FFN menu is dense swiglu/mlp,
+``/root/reference/FiT/models/fit.py:117-140``): a Switch-Transformer-style
+sparse FFN (arXiv:2101.03961) that scales FFN parameters without scaling
+per-token FLOPs, built the TPU way (GShard, arXiv:2006.16668):
+
+* **static shapes** — routing is top-1 with a fixed per-expert capacity
+  ``C = ceil(T/E · capacity_factor)``; tokens past capacity fall through the
+  residual (their FFN contribution is zero), so every shape is
+  trace-constant and XLA tiles every op onto the MXU;
+* **einsum dispatch** — tokens move to experts through one-hot
+  dispatch/combine contractions (no scatter/gather, no dynamic shapes):
+  ``xe = einsum('btd,btec->becd', x, dispatch)`` then the stacked-expert
+  matmuls ``einsum('becd,edh->bech', xe, w1)``;
+* **expert parallelism by annotation** — the stacked expert weights
+  (E, D, H) shard their leading dim over an ``'expert'`` mesh axis
+  (``parallel.mesh._EP_RULES``) and the (B, E, C, D) expert activations are
+  pinned ``P('data', 'expert', None, None)``; GSPMD lowers the dispatch and
+  combine einsums into the all-to-alls that ride ICI. The hidden dim
+  composes with tensor parallelism over ``'model'``.
+
+Padded tokens (``mask == False``) never route: their dispatch weight is
+zero, so they consume no expert capacity and contribute nothing to the
+load-balance statistics.
+
+The Switch load-balance auxiliary loss ``E · Σ_e f_e · m_e`` (f = fraction
+of tokens dispatched to e, m = mean router probability of e) is sown into
+the ``"moe_aux"`` collection; ``train.step.diffusion_loss`` adds it with
+weight ``moe_aux_weight`` when the collection is made mutable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+Dtype = Any
+
+__all__ = ["MoeSwiGLU"]
+
+# per-expert xavier-uniform over the trailing (in, out) dims of the stacked
+# (E, in, out) weight — the leading expert dim is a batch axis for init fans
+_expert_init = nn.initializers.variance_scaling(
+    1.0, "fan_avg", "uniform", in_axis=-2, out_axis=-1, batch_axis=(0,)
+)
+
+
+class MoeSwiGLU(nn.Module):
+    """Top-1 (Switch) mixture of SwiGLU experts, einsum-dispatched.
+
+    Call with ``(x, mask)`` where x: (B, T, D) and mask: (B, T) bool token
+    validity; returns (B, T, out_features) in ``dtype``. Total parameters
+    ≈ num_experts × the dense SwiGLU; per-token compute ≈ 1× (top-1).
+    """
+
+    num_experts: int
+    hidden_features: int
+    out_features: int
+    capacity_factor: float = 1.25
+    dtype: Dtype = jnp.float32
+    # jax.sharding.Mesh with an 'expert' axis: pins the expert activations so
+    # GSPMD lowers dispatch/combine into all-to-alls instead of choosing a
+    # replicated layout. None = single-mesh/no-EP (annotations skipped).
+    ep_mesh: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        b, t, d = x.shape
+        e = self.num_experts
+        cap = max(1, math.ceil(t / e * self.capacity_factor))
+
+        # --- routing (fp32: softmax/argmax stability and a bit-stable
+        # aux loss regardless of compute dtype) ---
+        logits = nn.Dense(
+            e,
+            use_bias=False,
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="router",
+        )(x.astype(jnp.float32))  # (B, T, E)
+        gates = jax.nn.softmax(logits, axis=-1)
+        valid = (
+            mask.astype(jnp.float32)
+            if mask is not None
+            else jnp.ones((b, t), jnp.float32)
+        )
+        expert_idx = jnp.argmax(gates, axis=-1)  # (B, T)
+        onehot = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)
+        onehot = onehot * valid[..., None]  # padded tokens route nowhere
+
+        # Switch aux loss over VALID tokens: E * sum_e f_e * m_e == 1 at a
+        # perfectly uniform router. Computed before the capacity cut (the
+        # standard formulation — overflow still counts as demand).
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+        frac = jnp.sum(onehot, axis=(0, 1)) / n_valid  # (E,)
+        mean_prob = jnp.sum(gates * valid[..., None], axis=(0, 1)) / n_valid
+        if not self.is_initializing():
+            # skipped at init so model.init never returns a stale "moe_aux"
+            # collection (it would leak into the train state / checkpoints)
+            self.sow("moe_aux", "load_balance", e * jnp.sum(frac * mean_prob))
+
+        # --- capacity assignment: slot index within the chosen expert is a
+        # cumsum down the token axis; tokens past `cap` drop (residual
+        # carries them — Switch overflow semantics) ---
+        pos = (jnp.cumsum(onehot, axis=1) - 1.0) * onehot  # (B, T, E)
+        keep = onehot * (pos < cap)
+        dispatch = keep[..., None] * jax.nn.one_hot(
+            pos.astype(jnp.int32), cap, dtype=jnp.float32
+        )  # (B, T, E, C)
+        gate = jnp.sum(gates * keep, axis=-1)  # (B, T), 0 for dropped/padded
+        combine = dispatch * gate[..., None, None]
+
+        # --- stacked expert weights; leading E shards over 'expert' ---
+        h = self.hidden_features
+        w1_g = self.param("w1_g", _expert_init, (e, d, h))
+        w1_x = self.param("w1_x", _expert_init, (e, d, h))
+        b1_g = self.param("b1_g", nn.initializers.zeros, (e, h))
+        b1_x = self.param("b1_x", nn.initializers.zeros, (e, h))
+        w2 = self.param("w2", _expert_init, (e, h, self.out_features))
+        b2 = self.param("b2", nn.initializers.zeros, (e, self.out_features))
+
+        cd = self.dtype
+        xe = jnp.einsum(
+            "btd,btec->becd", x.astype(cd), dispatch.astype(cd)
+        )  # (B, E, C, D)
+        xe = self._pin(xe)
+        g = jnp.einsum("becd,edh->bech", xe, w1_g.astype(cd)) + b1_g.astype(cd)[None, :, None]
+        v = jnp.einsum("becd,edh->bech", xe, w1_x.astype(cd)) + b1_x.astype(cd)[None, :, None]
+        hid = nn.silu(g) * v
+        ye = jnp.einsum("bech,ehd->becd", hid, w2.astype(cd)) + b2.astype(cd)[None, :, None]
+        ye = self._pin(ye)
+        # combine: empty slots have zero weight, so the (bias-fed) garbage an
+        # unused expert slot computes never reaches a token
+        return jnp.einsum("becd,btec->btd", ye, combine.astype(cd))
+
+    def _pin(self, a: Array) -> Array:
+        """Constrain (B, E, C, ...) expert activations to
+        P('data', 'expert', ...): forces the dispatch einsum to lower as the
+        token->expert all-to-all instead of whatever layout GSPMD guesses."""
+        if self.ep_mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fit_tpu.parallel.mesh import DATA_AXIS, EXPERT_AXIS
+
+        shape = dict(self.ep_mesh.shape)
+        spec = P(
+            DATA_AXIS if a.shape[0] % shape.get(DATA_AXIS, 1) == 0 else None,
+            EXPERT_AXIS if a.shape[1] % shape.get(EXPERT_AXIS, 1) == 0 else None,
+        )
+        return jax.lax.with_sharding_constraint(a, NamedSharding(self.ep_mesh, spec))

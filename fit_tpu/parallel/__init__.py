@@ -1,7 +1,8 @@
-"""Mesh / sharding layer (DP, FSDP, TP, SP over jax.sharding)."""
+"""Mesh / sharding layer (DP, FSDP, TP, SP, PP, EP over jax.sharding)."""
 
 from fit_tpu.parallel.mesh import (
     DATA_AXIS,
+    EXPERT_AXIS,
     MODEL_AXIS,
     PIPE_AXIS,
     SEQ_AXIS,

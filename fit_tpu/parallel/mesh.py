@@ -37,6 +37,7 @@ DATA_AXIS = "data"
 SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 PIPE_AXIS = "pipe"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(
@@ -45,33 +46,38 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     sp: int = 1,
     pp: int = 1,
+    ep: int = 1,
 ) -> Mesh:
-    """Build a (['pipe',] 'data'[, 'seq'], 'model') mesh. ``dp`` defaults to
-    n_devices // (pp * sp * tp). The 'seq' axis (sequence/context
-    parallelism, ``parallel.sequence``) and the 'pipe' axis (GPipe
-    microbatch pipelining, ``parallel.pipeline``) are only materialized when
+    """Build a (['pipe',] 'data'[, 'seq'][, 'expert'], 'model') mesh. ``dp``
+    defaults to n_devices // (pp * sp * ep * tp). The 'seq' axis
+    (sequence/context parallelism, ``parallel.sequence``), the 'pipe' axis
+    (GPipe microbatch pipelining, ``parallel.pipeline``) and the 'expert'
+    axis (MoE expert parallelism, ``models.moe``) are only materialized when
     their factor is > 1, so existing 2-axis specs and tests are untouched.
 
     On multi-host slices, ``jax.devices()`` is globally ordered so the model
-    axis lands on adjacent devices (fastest ICI hops), the seq axis next
-    (its all-to-alls are the second-chattiest), data-parallel replicas
-    next, and pipeline stages outermost (one ppermute hop per tick — the
-    cheapest pattern, fine across the slowest links).
+    axis lands on adjacent devices (fastest ICI hops), the expert axis next
+    (its dispatch all-to-alls move ~2·B·T·D/ep bytes per MoE block), the seq
+    axis next, data-parallel replicas next, and pipeline stages outermost
+    (one ppermute hop per tick — the cheapest pattern, fine across the
+    slowest links).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (pp * tp * sp) == 0, (
-            f"{n} devices not divisible by pp*sp*tp={pp * sp * tp}"
+        assert n % (pp * tp * sp * ep) == 0, (
+            f"{n} devices not divisible by pp*sp*ep*tp={pp * sp * ep * tp}"
         )
-        dp = n // (pp * tp * sp)
-    assert dp * tp * sp * pp == n, (
-        f"pp({pp}) * dp({dp}) * sp({sp}) * tp({tp}) != devices({n})"
+        dp = n // (pp * tp * sp * ep)
+    assert dp * tp * sp * pp * ep == n, (
+        f"pp({pp}) * dp({dp}) * sp({sp}) * ep({ep}) * tp({tp}) != devices({n})"
     )
     dims = [(PIPE_AXIS, pp)] if pp > 1 else []
     dims.append((DATA_AXIS, dp))
     if sp > 1:
         dims.append((SEQ_AXIS, sp))
+    if ep > 1:
+        dims.append((EXPERT_AXIS, ep))
     dims.append((MODEL_AXIS, tp))
     arr = np.array(devices).reshape([d for _, d in dims])
     return Mesh(arr, tuple(name for name, _ in dims))
@@ -104,6 +110,20 @@ _TP_RULES = [
     (r".*ffn/fc1(_[gx])?/kernel_scale$", P(MODEL_AXIS)),
 ]
 
+# MoE expert-parallel rules (models.moe.MoeSwiGLU): the stacked expert
+# kernels (E, D, H)/(E, H, D) shard their leading EXPERT dim over the
+# 'expert' mesh axis — each device holds E/ep whole experts, and the
+# dispatch/combine einsums become all-to-alls over ICI (GShard pattern,
+# arXiv:2006.16668). The hidden dim additionally TP-shards over 'model'
+# (size-1 axis when tp is off, so the spec is always valid). The router
+# stays replicated: every device must score every local token.
+_EP_RULES = [
+    (r".*ffn/w1_[gx]$", P(EXPERT_AXIS, None, MODEL_AXIS)),
+    (r".*ffn/b1_[gx]$", P(EXPERT_AXIS, MODEL_AXIS)),
+    (r".*ffn/w2$", P(EXPERT_AXIS, MODEL_AXIS, None)),
+    (r".*ffn/b2$", P(EXPERT_AXIS, None)),
+]
+
 _FSDP_RULES = [
     # shard every large 2D kernel's input dim over the data axis (ZeRO-3);
     # embeddings shard over the vocab dim. The head-grouped qkv kernel
@@ -122,16 +142,19 @@ def _match(rules, path: str):
     return None
 
 
-def param_partition_spec(params, *, tp: bool = True, fsdp: bool = False):
+def param_partition_spec(params, *, tp: bool = True, fsdp: bool = False, ep: bool = False):
     """PartitionSpec pytree for a FiT/DiT params pytree.
 
     With both tp and fsdp, TP rules take precedence and FSDP fills the spare
-    dimension of TP-sharded kernels (2D sharding).
+    dimension of TP-sharded kernels (2D sharding). ``ep`` adds the MoE
+    expert-parallel rules (requires a mesh with an 'expert' axis).
     """
 
     def spec_for(path_tuple, leaf) -> P:
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path_tuple)
-        spec = _match(_TP_RULES, path) if tp else None
+        spec = _match(_EP_RULES, path) if ep else None
+        if spec is None:
+            spec = _match(_TP_RULES, path) if tp else None
         if spec is not None and fsdp and path.endswith("/kernel"):
             # combine: fsdp fills the spare (input) matrix dim of TP kernels
             if spec[0] is None and spec[-1] == MODEL_AXIS:
@@ -162,10 +185,12 @@ def _divisible(leaf_shape, spec: P, mesh: Mesh) -> bool:
     return True
 
 
-def shard_params(params, mesh: Mesh, *, tp: bool = True, fsdp: bool = False):
+def shard_params(
+    params, mesh: Mesh, *, tp: bool = True, fsdp: bool = False, ep: bool = False
+):
     """Place a params pytree onto the mesh according to the rules, falling
     back to replication for any leaf whose shape doesn't divide."""
-    specs = param_partition_spec(params, tp=tp, fsdp=fsdp)
+    specs = param_partition_spec(params, tp=tp, fsdp=fsdp, ep=ep)
 
     def place(x, spec):
         if not _divisible(x.shape, spec, mesh):

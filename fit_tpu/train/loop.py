@@ -45,10 +45,17 @@ class Trainer:
         cfg = config
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
         remat = cfg.remat if cfg.remat is not None else (cfg.packing == "pad")
-        self.mesh = make_mesh(tp=cfg.tp, sp=cfg.sp, pp=cfg.pp)
+        self.mesh = make_mesh(tp=cfg.tp, sp=cfg.sp, pp=cfg.pp, ep=cfg.ep)
         if cfg.pp > 1:
-            assert cfg.tp == 1 and cfg.sp == 1, "pp composes with dp only"
+            assert cfg.tp == 1 and cfg.sp == 1 and cfg.ep == 1, (
+                "pp composes with dp only"
+            )
             assert cfg.scan_blocks, "pipeline parallelism needs scan_blocks"
+            assert cfg.ffn != "moe", "moe + pipeline parallelism not wired"
+        if cfg.ep > 1:
+            assert cfg.ffn == "moe" and cfg.moe_experts % cfg.ep == 0, (
+                "expert parallelism needs ffn='moe' with moe_experts % ep == 0"
+            )
         self.model = create_fit(
             cfg.model,
             num_classes=cfg.num_classes,
@@ -56,6 +63,12 @@ class Trainer:
             dtype=dtype,
             remat=remat,
             scan_blocks=cfg.scan_blocks,
+            ffn=cfg.ffn,
+            moe_experts=cfg.moe_experts,
+            moe_capacity=cfg.moe_capacity,
+            # expert parallelism: MoE pins (B, E, C, D) expert activations
+            # onto the 'expert' axis (models.moe._pin)
+            ep_mesh=self.mesh if cfg.ep > 1 else None,
             # sequence parallelism: the model pins token-axis shardings and
             # routes attention through the Ulysses wrapper (parallel.sequence)
             seq_mesh=self.mesh if cfg.sp > 1 else None,
@@ -131,6 +144,7 @@ class Trainer:
         self.train_step = make_train_step(
             apply_fn, self.diffusion, self.tx,
             ema_decay=cfg.ema_decay, grad_accum=cfg.grad_accum,
+            moe_aux_weight=cfg.moe_aux_weight if cfg.ffn == "moe" else 0.0,
         )
         self.eval_step = make_eval_step(apply_fn, self.diffusion)
         self.ckpt = CheckpointManager(os.path.join(cfg.results_dir, "checkpoints"))
@@ -212,7 +226,9 @@ class Trainer:
             dummy["tokens"], jnp.zeros((1,), jnp.int32), dummy["label"],
             dummy["pos"], dummy["mask"], train=True,
         )
-        params, _specs = shard_params(params, self.mesh, tp=cfg.tp > 1, fsdp=cfg.fsdp)
+        params, _specs = shard_params(
+            params, self.mesh, tp=cfg.tp > 1, fsdp=cfg.fsdp, ep=cfg.ep > 1
+        )
         state = create_train_state(params, self.tx, ema_dtype=self._state_dtype)
         # every leaf must live on the mesh: scalar leaves (step, optimizer
         # count) are otherwise single-device, and an Orbax restore then mixes

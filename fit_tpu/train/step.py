@@ -45,6 +45,7 @@ def diffusion_loss(
     diffusion: GaussianDiffusion,
     batch: dict,
     rng: jax.Array,
+    moe_aux_weight: float = 0.0,
 ):
     """Masked eps-prediction MSE for one microbatch. Returns
     ``(loss, (t, per_sample_loss))`` — the aux feeds the host-side
@@ -68,6 +69,11 @@ def diffusion_loss(
     noise = jax.random.normal(rng_noise, tokens.shape, jnp.float32)
     x_t = diffusion.q_sample(tokens.astype(jnp.float32), t, noise)
 
+    apply_kwargs = dict(train=True, rngs={"label_dropout": rng_drop})
+    if moe_aux_weight:
+        # ffn="moe": blocks sow their Switch load-balance loss into the
+        # "moe_aux" collection (models.moe); making it mutable collects it
+        apply_kwargs["mutable"] = ["moe_aux"]
     out = model_apply(
         params,
         x_t,
@@ -75,16 +81,21 @@ def diffusion_loss(
         batch["label"],
         batch["pos"],
         batch["mask"],
-        train=True,
-        rngs={"label_dropout": rng_drop},
+        **apply_kwargs,
     )
+    aux = jnp.float32(0.0)
+    if moe_aux_weight:
+        out, moe_vars = out
+        leaves = jax.tree.leaves(moe_vars)
+        n = sum(l.size for l in leaves)
+        aux = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves) / max(n, 1)
     outf = out.astype(jnp.float32)
     per_sample = _masked_per_sample_mse(outf, noise, batch["mask"])
     if "t_weight" in batch:
         loss = jnp.mean(batch["t_weight"] * per_sample)
     else:
         loss = masked_global_mse(outf, noise, batch["mask"])
-    return loss, (t, per_sample)
+    return loss + moe_aux_weight * aux, (t, per_sample)
 
 
 def make_train_step(
@@ -95,6 +106,7 @@ def make_train_step(
     ema_decay: float = 0.9999,
     grad_accum: int = 1,
     donate: bool = True,
+    moe_aux_weight: float = 0.0,
 ):
     """Build the jitted train step.
 
@@ -105,7 +117,10 @@ def make_train_step(
     """
 
     def loss_fn(params, micro, rng):
-        return diffusion_loss(model_apply, params, diffusion, micro, rng)
+        return diffusion_loss(
+            model_apply, params, diffusion, micro, rng,
+            moe_aux_weight=moe_aux_weight,
+        )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

@@ -71,6 +71,17 @@ class TrainConfig:
     # GPipe microbatches per (grad-accum) micro-step; 0 = pp (the minimum
     # sensible; raise to shrink the (pp-1)/(m+pp-1) bubble)
     pp_microbatches: int = 0
+    # FFN flavor: "swiglu" | "mlp" (reference menu) | "moe" — Switch top-1
+    # mixture of SwiGLU experts (models.moe): moe_experts x FFN params at
+    # ~1x per-token FLOPs, load-balanced by a sown aux loss
+    ffn: str = "swiglu"
+    moe_experts: int = 8
+    moe_capacity: float = 1.25  # per-expert slots = ceil(T/E * this)
+    moe_aux_weight: float = 0.01  # Switch load-balance loss weight
+    # expert parallelism: shard the expert dim of MoE weights over `ep`
+    # devices (an 'expert' mesh axis; dispatch all-to-alls ride ICI).
+    # Requires ffn="moe" and moe_experts % ep == 0. 1 = off.
+    ep: int = 1
     # permit a (micro)batch that doesn't divide the data axis to fall back to
     # full replication instead of erroring. Off by default: on a real mesh
     # that fallback is a silent ~dp x throughput loss from a misconfigured
@@ -108,6 +119,10 @@ class SampleConfig:
     use_ema: bool = True
     attn_backend: str = "auto"
     scan_blocks: bool = True  # must match the training layout
+    # must match the training FFN flavor ("swiglu" | "mlp" | "moe")
+    ffn: str = "swiglu"
+    moe_experts: int = 8
+    moe_capacity: float = 1.25
 
 
 @dataclasses.dataclass

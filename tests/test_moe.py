@@ -1,0 +1,219 @@
+"""Mixture-of-Experts FFN + expert parallelism tests (models.moe).
+
+Beyond-reference capability (the reference FFN menu is dense swiglu/mlp,
+``/root/reference/FiT/models/fit.py:117-140``). The einsum dispatch is pure
+data movement, so the math is pinned exactly:
+
+* E=1 with enough capacity IS the dense SwiGLU — bit-parity oracle;
+* capacity overflow and padded tokens contribute exactly zero;
+* the ep=2 sharded forward/grads match the unsharded run;
+* the Switch aux loss reaches the training loss through the sown
+  "moe_aux" collection, under scan-over-layers AND remat.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fit_tpu.core.pos_embed import rope_freqs_2d
+from fit_tpu.models import FiT, SwiGLU
+from fit_tpu.models.moe import MoeSwiGLU
+from fit_tpu.parallel import make_mesh, shard_params
+
+RNGS = {"label_dropout": jax.random.PRNGKey(2)}
+
+
+def moe_inputs(b=2, t=32, d=24, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None] < np.array([[t], [t // 2]]))
+    return x, mask
+
+
+def test_single_expert_is_dense_swiglu():
+    """E=1: softmax over one expert gives gate 1.0 and the dispatch/combine
+    one-hots are permutations — the MoE must reproduce the dense SwiGLU to
+    fp32 accumulation-order tolerance (the stacked-expert einsum reassociates
+    the d-contraction vs nn.Dense; measured max diff ~5e-7)."""
+    x, mask = moe_inputs()
+    d, h = x.shape[-1], 40
+    dense = SwiGLU(h, d)
+    moe = MoeSwiGLU(1, h, d, capacity_factor=1.0)
+    pd = dense.init(jax.random.PRNGKey(0), x)
+    pm = moe.init(jax.random.PRNGKey(1), x, mask)
+
+    # graft the dense weights into the stacked expert-0 slots
+    dp = pd["params"]
+    pm = {
+        "params": {
+            "router": pm["params"]["router"],
+            "w1_g": dp["fc1_g"]["kernel"][None],
+            "b1_g": dp["fc1_g"]["bias"][None],
+            "w1_x": dp["fc1_x"]["kernel"][None],
+            "b1_x": dp["fc1_x"]["bias"][None],
+            "w2": dp["fc2"]["kernel"][None],
+            "b2": dp["fc2"]["bias"][None],
+        }
+    }
+    want = np.asarray(dense.apply(pd, x)) * np.asarray(mask)[..., None]
+    got = np.asarray(moe.apply(pm, x, mask))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_padded_tokens_never_route_or_consume_capacity():
+    """Garbage in padded positions must not change valid outputs, and padded
+    tokens must not occupy expert slots that valid tokens need."""
+    x, _ = moe_inputs(b=1, t=32)
+    # tight capacity: only valid tokens may fill it
+    moe = MoeSwiGLU(4, 16, x.shape[-1], capacity_factor=1.0)
+    half = jnp.asarray(np.arange(32)[None] < 16)
+    params = moe.init(jax.random.PRNGKey(0), x, half)
+
+    base = np.asarray(moe.apply(params, x, half))
+    x2 = x.at[:, 16:].set(1e3)  # trash the padded tail
+    got = np.asarray(moe.apply(params, x2, half))
+    np.testing.assert_array_equal(got[:, :16], base[:, :16])
+    np.testing.assert_array_equal(got[:, 16:], np.zeros_like(got[:, 16:]))
+
+
+def test_capacity_overflow_drops_to_zero():
+    """capacity 1 slot/expert: at most E tokens can produce output; every
+    other token's FFN contribution is exactly zero (Switch overflow)."""
+    x, _ = moe_inputs(b=1, t=32)
+    e = 2
+    moe = MoeSwiGLU(e, 16, x.shape[-1], capacity_factor=e / 32.0)  # cap=1
+    mask = jnp.ones((1, 32), bool)
+    params = moe.init(jax.random.PRNGKey(0), x, mask)
+    out = np.asarray(moe.apply(params, x, mask))
+    nonzero_tokens = np.sum(np.any(out != 0, axis=-1))
+    assert nonzero_tokens <= e
+    assert nonzero_tokens >= 1
+
+
+def fit_kwargs(ffn="moe", **over):
+    kw = dict(
+        patch_size=2, in_channels=4, hidden_size=64, depth=2, num_heads=4,
+        num_classes=10, class_dropout_prob=0.0, ffn=ffn, moe_experts=4,
+        attn_backend="xla",
+    )
+    kw.update(over)
+    return kw
+
+
+def fit_batch(b=4, t=32, head_dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = jnp.asarray(rng.normal(size=(b, t, 16)).astype(np.float32))
+    pos = jnp.asarray(
+        np.broadcast_to(rope_freqs_2d(head_dim, 4, t // 4, max_length=t), (b, t, head_dim))
+        .copy().astype(np.float32)
+    )
+    mask = jnp.asarray(np.arange(t)[None] < rng.integers(t // 2, t + 1, size=(b, 1)))
+    tvec = jnp.asarray(rng.integers(0, 100, size=(b,)).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, 10, size=(b,)).astype(np.int32))
+    return tokens, tvec, y, pos, mask
+
+
+@pytest.mark.parametrize("scan,remat", [(False, False), (True, True)])
+def test_moe_fit_forward_and_aux(scan, remat):
+    """A MoE FiT runs end to end; the sown load-balance aux is ~1 at a
+    fresh router (uniform gates) and survives scan-over-layers + remat."""
+    model = FiT(**fit_kwargs(scan_blocks=scan, remat=remat))
+    args = fit_batch()
+    params = model.init({"params": jax.random.PRNGKey(0)}, *args, train=True)
+    out, mvars = model.apply(
+        params, *args, train=True, rngs=RNGS, mutable=["moe_aux"]
+    )
+    assert out.shape == args[0].shape
+    assert np.all(np.isfinite(np.asarray(out)))
+    leaves = jax.tree.leaves(mvars)
+    vals = np.concatenate([np.asarray(l).reshape(-1) for l in leaves])
+    assert vals.size == 2  # one aux scalar per block
+    # xavier router on centered inputs: near-uniform gates -> aux ~= 1
+    np.testing.assert_allclose(vals, 1.0, atol=0.35)
+
+
+def test_moe_train_step_includes_aux():
+    """make_train_step(moe_aux_weight=w) shifts the loss by exactly
+    w * mean(aux) relative to the w=0 step."""
+    import optax
+
+    from fit_tpu.diffusion import create_diffusion
+    from fit_tpu.train.state import create_train_state
+    from fit_tpu.train.step import make_train_step
+
+    model = FiT(**fit_kwargs(scan_blocks=True, remat=True))
+    args = fit_batch()
+    params = model.init({"params": jax.random.PRNGKey(0)}, *args, train=True)
+    diffusion = create_diffusion(None)
+    tx = optax.adamw(1e-4)
+    batch = {"tokens": args[0], "label": args[2], "pos": args[3], "mask": args[4]}
+    rng = jax.random.PRNGKey(7)
+
+    losses = {}
+    for w in (0.0, 0.5):
+        state = create_train_state(params, tx)
+        step = make_train_step(
+            model.apply, diffusion, tx, grad_accum=1, donate=False,
+            moe_aux_weight=w,
+        )
+        _, metrics = step(state, batch, rng)
+        losses[w] = float(metrics["loss"])
+    # aux at a fresh router is ~1.0 (see test above); the shift is w * aux.
+    # (w=0 never makes the collection mutable, so it also proves sow
+    # degrades to a no-op on the plain path.)
+    shift = losses[0.5] - losses[0.0]
+    assert 0.5 * 0.65 < shift < 0.5 * 1.35, (losses, shift)
+
+
+@pytest.mark.parametrize("dp,ep", [(4, 2), (2, 4)])
+def test_expert_parallel_matches_unsharded(dp, ep):
+    """ep-sharded forward == unsharded forward exactly: expert parallelism
+    is pure placement (GSPMD all-to-alls move tokens; each expert's math is
+    untouched)."""
+    mesh = make_mesh(dp=dp, ep=ep)
+    kw = fit_kwargs(scan_blocks=True)
+    base = FiT(**kw)
+    ep_model = FiT(**kw, ep_mesh=mesh)
+    args = fit_batch()
+    params = base.init({"params": jax.random.PRNGKey(0)}, *args, train=True)
+    want = np.asarray(base.apply(params, *args, train=True, rngs=RNGS))
+
+    with mesh:
+        params_s, specs = shard_params(params, mesh, tp=False, ep=True)
+        # the stacked (depth, E, D, H) expert kernels must actually shard
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        ep_specs = [s for p, s in flat if "w1_g" in str(p)]
+        assert ep_specs and all("expert" in str(s) for s in ep_specs), ep_specs
+        sharded = {
+            k: jax.device_put(v, NamedSharding(mesh, P("data", *[None] * (v.ndim - 1))))
+            for k, v in zip(("tokens", "t", "y", "pos", "mask"), args)
+        }
+        got = jax.jit(
+            lambda p, a: ep_model.apply(
+                p, a["tokens"], a["t"], a["y"], a["pos"], a["mask"],
+                train=True, rngs=RNGS,
+            )
+        )(params_s, sharded)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_expert_parallel_grads_match():
+    mesh = make_mesh(dp=4, ep=2)
+    kw = fit_kwargs(scan_blocks=True)
+    base = FiT(**kw)
+    ep_model = FiT(**kw, ep_mesh=mesh)
+    args = fit_batch()
+    params = base.init({"params": jax.random.PRNGKey(0)}, *args, train=True)
+
+    def loss(model, p):
+        out = model.apply(p, *args, train=True, rngs=RNGS)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(base, p)))(params)
+    with mesh:
+        params_s, _ = shard_params(params, mesh, tp=False, ep=True)
+        g_ep = jax.jit(jax.grad(lambda p: loss(ep_model, p)))(params_s)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ep)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
