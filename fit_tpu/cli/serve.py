@@ -11,13 +11,17 @@ Usage:
       [--quant int8] [--sampler dpm] [--vae-checkpoint sd-vae-ft-ema/...]
 
 Endpoints:
-  POST /sample   body {"label": 3, "height": 256, "width": 256, "seed": 7}
+  POST /sample   body {"label": 3, "height": 256, "width": 256, "seed": 7,
+                 "deadline_s": 30}
                  -> .npy bytes of the (C, h, w) float32 latent, or a PNG
                  image when the server was started with --vae-checkpoint
                  (on-TPU decode; the reference predict_step contract).
                  seed gives bit-reproducible results under the
-                 deterministic samplers ddim/dpm
-  GET  /stats    -> JSON: served, batches, occupancy, queue depth, latency
+                 deterministic samplers ddim/dpm.
+                 429 (+Retry-After) when the bounded queue is full;
+                 504 when deadline_s elapsed before dispatch
+  GET  /stats    -> JSON: served, batches, occupancy, queue depth/bound,
+                 rejected/expired counts, latency percentiles
   GET  /healthz  -> 200 "ok"
 """
 
@@ -55,20 +59,38 @@ def make_handler(server):
             if self.path != "/sample":
                 self._json(404, {"error": "unknown path"})
                 return
+            from fit_tpu.serve import DeadlineExceeded, ServerOverloaded
+
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                deadline = req.get("deadline_s")
                 fut = server.submit(
                     int(req.get("label", 0)),
                     int(req.get("height", 256)),
                     int(req.get("width", 256)),
                     seed=req.get("seed"),
+                    deadline_s=float(deadline) if deadline is not None else None,
                 )
+            except ServerOverloaded as exc:
+                # backpressure: bounded queue full — shed load, tell the
+                # client to retry after roughly one batch latency
+                self.send_response(429)
+                body = json.dumps({"error": str(exc)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except (ValueError, KeyError, json.JSONDecodeError) as exc:
                 self._json(400, {"error": str(exc)})
                 return
             try:
                 result = fut.result()
+            except DeadlineExceeded as exc:
+                self._json(504, {"error": str(exc)})
+                return
             except Exception as exc:  # noqa: BLE001 — surface batch failures
                 self._json(500, {"error": str(exc)})
                 return
@@ -107,6 +129,9 @@ def main():
     parser.add_argument("--max-batch-wait-s", type=float, default=0.25,
                         help="max seconds the first request in a batch waits "
                              "for the batch to fill")
+    parser.add_argument("--max-queue", type=int, default=None,
+                        help="bounded request-queue depth (default 8x batch); "
+                             "full queue returns HTTP 429. 0 = unbounded")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip the startup compile batch (first request "
                              "pays it instead)")
@@ -148,6 +173,7 @@ def main():
         model, params,
         batch_size=args.serve_batch_size,
         max_batch_wait_s=args.max_batch_wait_s,
+        max_queue=args.max_queue,
         num_sampling_steps=cfg.num_sampling_steps,
         cfg_scale=cfg.cfg_scale,
         sampler=cfg.sampler,

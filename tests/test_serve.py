@@ -270,3 +270,142 @@ def test_vae_decode_path_returns_images_and_png(model_params):
             assert img.dtype == np.uint8 and img.shape == (32, 32, 3)
         finally:
             httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# overload hardening (VERDICT r3 weak #4): bounded queue + 429, per-request
+# deadlines, graceful drain on close
+# ---------------------------------------------------------------------------
+
+
+def test_overload_bounded_queue_rejects_and_recovers(model_params):
+    """Burst >> capacity: the bounded queue rejects the overflow with
+    ServerOverloaded (never grows past max_queue), every ACCEPTED request
+    still completes, and rejects are counted in stats."""
+    from fit_tpu.serve import ServerOverloaded
+
+    model, params = model_params
+    srv = make_server(model, params, batch_size=2, max_batch_wait_s=0.0,
+                      max_queue=4)
+    # stall the sampler so the queue genuinely backs up
+    blocker = threading.Event()
+    orig = srv.sampler.sample_mixed
+    srv.sampler.sample_mixed = lambda *a, **k: (blocker.wait(60), orig(*a, **k))[1]
+    try:
+        accepted, rejected = [], 0
+        for i in range(40):
+            try:
+                accepted.append(srv.submit(i % 8, 128, 128, seed=i))
+            except ServerOverloaded:
+                rejected += 1
+        assert rejected > 0, "burst of 40 into a 4-deep queue must shed load"
+        assert srv.stats()["queued"] <= srv.max_queue
+        assert srv.stats()["rejected"] == rejected
+        blocker.set()
+        for f in accepted:
+            assert f.result(timeout=120) is not None
+    finally:
+        blocker.set()
+        srv.close(drain=False)
+    assert srv.stats()["served"] == len(accepted)
+
+
+def test_request_deadline_expires_in_queue(model_params):
+    """A request whose deadline passes while queued gets DeadlineExceeded
+    and never occupies a TPU slot; a live request in the same queue is
+    served normally."""
+    from fit_tpu.serve import DeadlineExceeded
+
+    model, params = model_params
+    srv = make_server(model, params, batch_size=2, max_batch_wait_s=0.0)
+    blocker = threading.Event()
+    orig = srv.sampler.sample_mixed
+    srv.sampler.sample_mixed = lambda *a, **k: (blocker.wait(60), orig(*a, **k))[1]
+    try:
+        hog = srv.submit(0, 128, 128)  # occupies the (stalled) worker
+        time.sleep(0.1)  # let the worker pick up `hog` first
+        doomed = srv.submit(1, 128, 128, deadline_s=0.05)
+        live = srv.submit(2, 128, 128)
+        time.sleep(0.3)  # doomed's deadline passes while still queued
+        blocker.set()
+        with pytest.raises(DeadlineExceeded):
+            doomed.result(timeout=120)
+        assert live.result(timeout=120) is not None
+        assert hog.result(timeout=120) is not None
+        assert srv.stats()["expired"] == 1
+    finally:
+        blocker.set()
+        srv.close(drain=False)
+
+
+def test_close_drain_serves_all_accepted(model_params):
+    """close(drain=True): admission stops immediately (submit raises) but
+    every request accepted before close resolves to a RESULT, not an
+    exception — a deploy/rollover never drops accepted work."""
+    model, params = model_params
+    srv = make_server(model, params, batch_size=2, max_batch_wait_s=0.0)
+    gate = threading.Event()
+    orig = srv.sampler.sample_mixed
+    srv.sampler.sample_mixed = lambda *a, **k: (gate.wait(60), orig(*a, **k))[1]
+    futs = [srv.submit(i % 8, 128, 128, seed=i) for i in range(7)]
+    gate.set()
+    closer = threading.Thread(target=srv.close)  # drain=True default
+    closer.start()
+    try:
+        for f in futs:
+            assert f.result(timeout=120) is not None  # served, not failed
+    finally:
+        closer.join(timeout=120)
+    with pytest.raises(RuntimeError):
+        srv.submit(0, 128, 128)
+    assert srv.stats()["served"] == 7
+
+
+def test_http_overload_returns_429(model_params):
+    """Full bounded queue -> HTTP 429 with Retry-After; the handler maps
+    ServerOverloaded to backpressure instead of a 500."""
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+
+    from fit_tpu.cli.serve import make_handler
+
+    model, params = model_params
+    srv = make_server(model, params, batch_size=2, max_batch_wait_s=0.0,
+                      max_queue=2)
+    blocker = threading.Event()
+    orig = srv.sampler.sample_mixed
+    srv.sampler.sample_mixed = lambda *a, **k: (blocker.wait(60), orig(*a, **k))[1]
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        # deterministic saturation: park the worker on a stalled batch first
+        # (wait until it has TAKEN the hog — otherwise it would later drain
+        # the queue into its batch and reopen space), then fill the queue
+        srv.submit(0, 128, 128)  # hog: the worker stalls launching this
+        deadline = time.monotonic() + 30
+        while srv._q.qsize() > 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._q.qsize() == 0, "worker never picked up the hog"
+        from fit_tpu.serve import ServerOverloaded
+
+        full = False
+        for i in range(10):  # queue cap is 2; the worker is stalled
+            try:
+                srv.submit(i % 8, 128, 128)
+            except ServerOverloaded:
+                full = True
+                break
+        assert full, "queue never filled"
+        body = json.dumps({"label": 1, "height": 128, "width": 128}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sample", data=body, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 429
+        assert ei.value.headers.get("Retry-After") is not None
+    finally:
+        httpd.shutdown()
+        blocker.set()
+        srv.close(drain=False)
