@@ -24,7 +24,7 @@ def main():
     if n_hosts > 1:
         print(f"[fit_tpu] multi-host: {n_hosts} processes")
     trainer = Trainer(cfg)
-    trainer.fit()
+    trainer.fit(max_steps=cfg.max_steps or None)
 
 
 if __name__ == "__main__":

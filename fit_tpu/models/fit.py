@@ -158,6 +158,9 @@ class FiT(nn.Module):
     # loss is sown into the "moe_aux" collection (see train.step).
     moe_experts: int = 8
     moe_capacity: float = 1.25
+    # train-time multiplicative router-input jitter (models.moe); active
+    # only when the caller provides a "moe_jitter" rng stream
+    moe_router_jitter: float = 0.0
     ep_mesh: Any = None
 
     @property
@@ -258,6 +261,7 @@ class FiT(nn.Module):
             seq_axis=self.seq_axis,
             moe_experts=self.moe_experts,
             moe_capacity=self.moe_capacity,
+            moe_router_jitter=self.moe_router_jitter,
             ep_mesh=self.ep_mesh,
         )
         if self.remat == "dots":
@@ -275,7 +279,8 @@ class FiT(nn.Module):
                 # "calib" stacks each layer's sown absmax to (depth, C);
                 # "moe_aux" stacks each layer's load-balance loss to (depth,)
                 variable_axes={"params": 0, "calib": 0, "moe_aux": 0},
-                split_rngs={"params": True},
+                # each scanned layer draws its own router-jitter noise
+                split_rngs={"params": True, "moe_jitter": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.depth,
             )

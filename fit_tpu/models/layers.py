@@ -471,6 +471,7 @@ class FiTBlock(nn.Module):
     # experts; ep_mesh carries the 'expert' sharding axis
     moe_experts: int = 8
     moe_capacity: float = 1.25
+    moe_router_jitter: float = 0.0
     ep_mesh: Any = None
 
     def _sow(self, name: str, x) -> None:
@@ -548,6 +549,7 @@ class FiTBlock(nn.Module):
             ffn = MoeSwiGLU(
                 self.moe_experts, hidden, self.hidden_size,
                 capacity_factor=self.moe_capacity, dtype=self.dtype,
+                router_jitter=self.moe_router_jitter,
                 ep_mesh=self.ep_mesh, name="ffn",
             )
             ffn_takes_mask = True

@@ -63,6 +63,12 @@ class MoeSwiGLU(nn.Module):
     hidden_features: int
     out_features: int
     capacity_factor: float = 1.25
+    # multiplicative router-input jitter (Switch Transformer §2.2, ~1e-2):
+    # scales the router's input by U[1-j, 1+j] so the argmax is not a fixed
+    # deterministic function early in training — anti-collapse pressure on
+    # top of the aux loss. Applied only when a "moe_jitter" rng is provided
+    # (the train step supplies one; sampling/eval never does).
+    router_jitter: float = 0.0
     dtype: Dtype = jnp.float32
     # jax.sharding.Mesh with an 'expert' axis: pins the expert activations so
     # GSPMD lowers dispatch/combine into all-to-alls instead of choosing a
@@ -77,13 +83,27 @@ class MoeSwiGLU(nn.Module):
 
         # --- routing (fp32: softmax/argmax stability and a bit-stable
         # aux loss regardless of compute dtype) ---
+        router_in = x.astype(jnp.float32)
+        if self.router_jitter > 0.0 and self.has_rng("moe_jitter"):
+            j = self.router_jitter
+            router_in = router_in * jax.random.uniform(
+                self.make_rng("moe_jitter"), router_in.shape, jnp.float32,
+                1.0 - j, 1.0 + j,
+            )
+        # bias on (zeros init, so bit-identical at init to a bias-free
+        # router): an input-independent per-expert preference is the routing
+        # degree of freedom that actually collapses in the wild — the LN'd
+        # input is zero-mean per token, so kernel columns alone cannot
+        # express "always expert e"; with the bias the failure mode is
+        # representable and the aux loss demonstrably repairs it
+        # (test_moe.py::test_aux_loss_rebalances_collapsed_router)
         logits = nn.Dense(
             e,
-            use_bias=False,
+            use_bias=True,
             dtype=jnp.float32,
             kernel_init=nn.initializers.xavier_uniform(),
             name="router",
-        )(x.astype(jnp.float32))  # (B, T, E)
+        )(router_in)  # (B, T, E)
         gates = jax.nn.softmax(logits, axis=-1)
         valid = (
             mask.astype(jnp.float32)

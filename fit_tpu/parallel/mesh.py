@@ -108,6 +108,14 @@ _TP_RULES = [
     # (proj/fc2) scales stay replicated (their output dim is unsharded)
     (r".*attn/qkv/kernel_scale$", P(None, MODEL_AXIS)),
     (r".*ffn/fc1(_[gx])?/kernel_scale$", P(MODEL_AXIS)),
+    # MoE expert stacks without expert parallelism (ffn="moe", ep=1): the
+    # hidden dim is Megatron column/row-parallel exactly like the dense
+    # SwiGLU — w1 (E, D, H) splits H (column), w2 (E, H, D) splits H (row);
+    # the output all-reduce rides the combine einsum. Without these the
+    # E-times parameter mass would silently replicate under tp (ADVICE r3).
+    (r".*ffn/w1_[gx]$", P(None, None, MODEL_AXIS)),
+    (r".*ffn/b1_[gx]$", P(None, MODEL_AXIS)),
+    (r".*ffn/w2$", P(None, MODEL_AXIS, None)),
 ]
 
 # MoE expert-parallel rules (models.moe.MoeSwiGLU): the stacked expert
@@ -132,7 +140,20 @@ _FSDP_RULES = [
     (r".*attn/qkv/kernel$", P(DATA_AXIS, None, None)),
     (r".*y_embedder/table/embedding$", P(DATA_AXIS, None)),
     (r".*/kernel$", P(DATA_AXIS, None)),
+    # MoE expert stacks (ffn="moe" without ep/tp): shard the MODEL-WIDTH dim
+    # D over the data axis (dim 1 of w1 (E, D, H), dim 2 of w2 (E, H, D)) —
+    # D is a multiple of every practical dp, whereas the SwiGLU hidden
+    # (2/3-width) often isn't. Without these the generic '/kernel$' rule
+    # never matches the w1_g/w1_x/w2 paths and the dominant E-times
+    # parameter mass silently replicates — losing ZeRO-3 exactly in the
+    # memory-bound MoE config (ADVICE r3 medium).
+    (r".*ffn/w1_[gx]$", P(None, DATA_AXIS, None)),
+    (r".*ffn/w2$", P(None, None, DATA_AXIS)),
 ]
+
+# expert-stack paths whose spare (input) dim FSDP may additionally shard
+# when an EP/TP rule already matched (the analogue of the '/kernel' combine)
+_MOE_STACK_RE = re.compile(r".*ffn/(w1_[gx]|w2)$")
 
 
 def _match(rules, path: str):
@@ -161,6 +182,17 @@ def param_partition_spec(params, *, tp: bool = True, fsdp: bool = False, ep: boo
                 spec = P(DATA_AXIS, *tuple(spec)[1:])
             elif spec == P(MODEL_AXIS, None):
                 spec = P(MODEL_AXIS, DATA_AXIS)
+        elif spec is not None and fsdp and _MOE_STACK_RE.match(path):
+            # combine for MoE expert stacks: fill the first spare non-expert
+            # dim with DATA — e.g. ep: (EXPERT, None, MODEL) -> (EXPERT,
+            # DATA, MODEL); tp-only w2: (None, MODEL, None) -> (None,
+            # MODEL, DATA)
+            axes = list(spec)
+            for i in range(1, len(axes)):
+                if axes[i] is None:
+                    axes[i] = DATA_AXIS
+                    break
+            spec = P(*axes)
         if spec is None and fsdp:
             spec = _match(_FSDP_RULES, path)
         if spec is None:

@@ -66,6 +66,7 @@ class Trainer:
             ffn=cfg.ffn,
             moe_experts=cfg.moe_experts,
             moe_capacity=cfg.moe_capacity,
+            moe_router_jitter=cfg.moe_router_jitter,
             # expert parallelism: MoE pins (B, E, C, D) expert activations
             # onto the 'expert' axis (models.moe._pin)
             ep_mesh=self.mesh if cfg.ep > 1 else None,
@@ -392,11 +393,16 @@ class Trainer:
                 if step % log_every == 0:
                     loss = float(metrics["loss"])
                     dt = time.time() - t_last
+                    extra = (
+                        {"moe_aux": float(metrics["moe_aux"])}
+                        if "moe_aux" in metrics
+                        else {}
+                    )
                     self.logger.log(
                         step, train_loss=loss,
                         grad_norm=float(metrics["grad_norm"]),
                         images_per_sec=imgs_since / max(dt, 1e-9),
-                        epoch=epoch,
+                        epoch=epoch, **extra,
                     )
                     t_last, imgs_since = time.time(), 0
                 if max_steps is not None and step >= max_steps:

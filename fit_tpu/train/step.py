@@ -48,8 +48,10 @@ def diffusion_loss(
     moe_aux_weight: float = 0.0,
 ):
     """Masked eps-prediction MSE for one microbatch. Returns
-    ``(loss, (t, per_sample_loss))`` — the aux feeds the host-side
-    loss-second-moment timestep resampler's history.
+    ``(loss, (t, per_sample_loss, moe_aux))`` — t/per-sample feed the
+    host-side loss-second-moment timestep resampler's history; ``moe_aux``
+    is the raw Switch load-balance loss (0 when ffn != "moe") so router
+    health is visible in logs separately from the combined loss.
 
     ``batch``: tokens (B,T,D), pos (B,T,P), mask (B,T), label (B,); plus,
     when a non-uniform timestep sampler is active, ``t`` (B,) int32 and
@@ -61,7 +63,7 @@ def diffusion_loss(
     """
     tokens = batch["tokens"]
     b = tokens.shape[0]
-    rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
+    rng_t, rng_noise, rng_drop, rng_jit = jax.random.split(rng, 4)
     if "t" in batch:
         t = batch["t"]
     else:
@@ -72,8 +74,11 @@ def diffusion_loss(
     apply_kwargs = dict(train=True, rngs={"label_dropout": rng_drop})
     if moe_aux_weight:
         # ffn="moe": blocks sow their Switch load-balance loss into the
-        # "moe_aux" collection (models.moe); making it mutable collects it
+        # "moe_aux" collection (models.moe); making it mutable collects it.
+        # The router-jitter stream is supplied unconditionally (unused rngs
+        # are free); the module only draws it when router_jitter > 0.
         apply_kwargs["mutable"] = ["moe_aux"]
+        apply_kwargs["rngs"]["moe_jitter"] = rng_jit
     out = model_apply(
         params,
         x_t,
@@ -95,7 +100,7 @@ def diffusion_loss(
         loss = jnp.mean(batch["t_weight"] * per_sample)
     else:
         loss = masked_global_mse(outf, noise, batch["mask"])
-    return loss + moe_aux_weight * aux, (t, per_sample)
+    return loss + moe_aux_weight * aux, (t, per_sample, aux)
 
 
 def make_train_step(
@@ -126,7 +131,7 @@ def make_train_step(
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         if grad_accum == 1:
-            (loss, (ts, t_losses)), grads = grad_fn(state.params, batch, rng)
+            (loss, (ts, t_losses, moe_aux)), grads = grad_fn(state.params, batch, rng)
         else:
             def micro_step(carry, xs):
                 micro, key = xs
@@ -135,9 +140,12 @@ def make_train_step(
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
             keys = jax.random.split(rng, grad_accum)
-            gsum, (losses, (ts, t_losses)) = jax.lax.scan(micro_step, zero, (batch, keys))
+            gsum, (losses, (ts, t_losses, moe_auxes)) = jax.lax.scan(
+                micro_step, zero, (batch, keys)
+            )
             grads = jax.tree.map(lambda g: g / grad_accum, gsum)
             loss = jnp.mean(losses)
+            moe_aux = jnp.mean(moe_auxes)
             ts, t_losses = ts.reshape(-1), t_losses.reshape(-1)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -159,6 +167,11 @@ def make_train_step(
             "t": ts,
             "t_loss": t_losses,
         }
+        if moe_aux_weight:
+            # raw (unweighted) Switch aux loss: a rising value means the
+            # router is collapsing onto few experts (ADVICE r3) — logged so
+            # loss curves stay comparable across aux-weight settings
+            metrics["moe_aux"] = moe_aux
         return (
             TrainState(
                 step=state.step + 1,

@@ -27,6 +27,9 @@ class TrainConfig:
     image_size: int = 256
     num_classes: int = 1000
     epochs: int = 1400
+    # stop after this many optimizer steps regardless of epochs (0 = no cap).
+    # The convergence-run driver uses this to bound long overfit runs.
+    max_steps: int = 0
     global_batch_size: int = 256
     global_seed: int = 0
     num_workers: int = 4  # loader prefetch threads
@@ -78,6 +81,10 @@ class TrainConfig:
     moe_experts: int = 8
     moe_capacity: float = 1.25  # per-expert slots = ceil(T/E * this)
     moe_aux_weight: float = 0.01  # Switch load-balance loss weight
+    # train-time multiplicative router-input jitter (Switch §2.2, try 1e-2):
+    # anti-collapse noise on top of the aux loss; 0 = off (deterministic
+    # router, bit-compatible with r3 checkpoints)
+    moe_router_jitter: float = 0.0
     # expert parallelism: shard the expert dim of MoE weights over `ep`
     # devices (an 'expert' mesh axis; dispatch all-to-alls ride ICI).
     # Requires ffn="moe" and moe_experts % ep == 0. 1 = off.

@@ -233,7 +233,7 @@ def test_importance_sampled_loss_semantics(setup):
     wb = dict(batch, t=jnp.asarray(ts), t_weight=jnp.asarray(ws))
 
     rng = jax.random.PRNGKey(5)
-    loss, (t_out, per) = diffusion_loss(model.apply, params, diffusion, wb, rng)
+    loss, (t_out, per, _aux) = diffusion_loss(model.apply, params, diffusion, wb, rng)
     np.testing.assert_array_equal(np.asarray(t_out), ts)
     np.testing.assert_allclose(
         float(loss), float(np.mean(ws * np.asarray(per))), rtol=1e-6
