@@ -33,6 +33,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     data_root, out_dir = sys.argv[4], sys.argv[5]
+    # "dp" (default): xla backend, pure data parallel. "fused_tp": Pallas
+    # fused attention (interpret mode on CPU) + tp=2 — runs the kernel's
+    # custom_partitioning under a REAL distributed client (VERDICT r3 item
+    # 4: executable rendezvous + GSPMD partitioner across process
+    # boundaries, the class of interaction the in-process tests can't reach)
+    variant = sys.argv[6] if len(sys.argv) > 6 else "dp"
 
     from fit_tpu.parallel.distributed import maybe_initialize
 
@@ -71,7 +77,8 @@ def main() -> None:
         grad_accum=1,
         log_every=1,
         compute_dtype="float32",
-        attn_backend="xla",
+        attn_backend="fused" if variant == "fused_tp" else "xla",
+        tp=2 if variant == "fused_tp" else 1,
         scan_blocks=False,
         remat=False,
         ckpt_every_epochs=1,
@@ -79,6 +86,9 @@ def main() -> None:
     trainer = Trainer(cfg)
     assert trainer.host_id == pid
     trainer.fit(max_steps=2)
+    if variant == "fused_tp":
+        print(f"worker {pid} done", flush=True)
+        return
 
     # Timestep-resampler multi-host sync (VERDICT r2 item 8): each process
     # feeds DIFFERENT local (t, loss) pairs; update_with_local_losses
