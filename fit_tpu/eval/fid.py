@@ -54,11 +54,17 @@ def frechet_distance(
         # pytorch-fid parity path: matrix sqrt of the (nonsymmetric) product;
         # when the product is singular (rank-deficient covariances from
         # N < D samples) sqrtm goes non-finite -> jitter both covariances by
-        # eps*I and retry, exactly as pytorch-fid does
-        covmean, _ = _sla.sqrtm(cov1 @ cov2, disp=False)
+        # eps*I and retry, exactly as pytorch-fid does.
+        # (scipy >= 1.17 deprecates ``disp``/the (sqrtm, errest) tuple and
+        # removes them in 1.18 — call bare and normalize the return shape)
+        def _sqrtm(x):
+            r = _sla.sqrtm(x)
+            return r[0] if isinstance(r, tuple) else r
+
+        covmean = _sqrtm(cov1 @ cov2)
         if not np.isfinite(covmean).all():
             offset = np.eye(cov1.shape[0]) * eps
-            covmean, _ = _sla.sqrtm((cov1 + offset) @ (cov2 + offset), disp=False)
+            covmean = _sqrtm((cov1 + offset) @ (cov2 + offset))
         if np.iscomplexobj(covmean):
             if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
                 m = float(np.max(np.abs(covmean.imag)))
