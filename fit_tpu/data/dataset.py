@@ -252,9 +252,12 @@ class LatentLoader:
         self.num_shards = num_shards
         self.buckets = buckets
         self.epoch = 0
-        # native C++ packer: pad-mode .npy datasets only (see data/native)
+        # native C++ packer: .npy datasets, both pad and bucket modes (the
+        # bucket path keeps rng parity by drawing flips/budget/permutations
+        # in Python and handing the C++ side a gather map)
         self._native = False
-        if native and mode == "pad" and all(p.endswith(".npy") for p, _ in dataset.entries):
+        self._shape_cache: Dict[str, Tuple[int, int]] = {}  # path -> (h, w)
+        if native and all(p.endswith(".npy") for p, _ in dataset.entries):
             try:
                 from fit_tpu.data.native import get_lib
 
@@ -332,10 +335,69 @@ class LatentLoader:
             plan.append((shard[start : start + self.batch_size], (self.seed, epoch, bi)))
         return plan
 
+    def _latent_hw(self, path: str) -> Tuple[int, int]:
+        """Latent (h, w) from the .npy header only (mmap open, no data read);
+        cached — the bucket packer needs token counts before loading."""
+        hw = self._shape_cache.get(path)
+        if hw is None:
+            shape = np.load(path, mmap_mode="r").shape
+            hw = (int(shape[1]), int(shape[2]))
+            self._shape_cache[path] = hw
+        return hw
+
+    def _bucket_batch_native(self, idxs, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Bucket-mode batch via the C++ packer. Draw order mirrors the
+        pure-numpy path exactly (per-item flip, then budget, then per-long-
+        item permutation) so both produce bit-identical batches for a given
+        batch seed; C++ only executes the IO/convert/flip/patchify/gather."""
+        ds = self.ds
+        b = len(idxs)
+        paths, labels, t_true, grids = [], [], [], []
+        for i in idxs:
+            p, cls = ds.entries[int(i)]
+            paths.append(p)
+            labels.append(ds.label_mapping[cls])
+            h, w = self._latent_hw(p)
+            nh, nw = h // ds.patch_size, w // ds.patch_size
+            grids.append((nh, nw))
+            t_true.append(nh * nw)
+        flips = (
+            (rng.random(b) < 0.5).astype(np.int32)
+            if ds.hflip
+            else np.zeros(b, np.int32)
+        )
+        n = int(rng.choice(self.buckets))
+        gather = np.full((b, n), -1, np.int32)
+        for i, t in enumerate(t_true):
+            if t > n:
+                gather[i] = rng.permutation(t)[:n]
+            else:
+                gather[i, :t] = np.arange(t, dtype=np.int32)
+
+        from fit_tpu.data.native import pack_batch_gather_native
+
+        dtok = ds.patch_size * ds.patch_size * ds.channels
+        tokens, mask, _hw, _lengths = pack_batch_gather_native(
+            paths, flips, gather, ds.patch_size, dtok
+        )
+        pos = np.zeros((b, n, ds.pos_dim), np.float32)
+        for i, (nh, nw) in enumerate(grids):
+            tab = ds._pos_table(nh, nw)
+            valid = gather[i] >= 0
+            pos[i, valid] = tab[gather[i, valid]]
+        return {
+            "tokens": tokens,
+            "pos": pos,
+            "mask": mask,
+            "label": np.asarray(labels, np.int32),
+        }
+
     def _build_batch(self, idxs, batch_seed) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(batch_seed)
         if self._native:
-            return self._pad_batch_native(idxs, rng)
+            if self.mode == "pad":
+                return self._pad_batch_native(idxs, rng)
+            return self._bucket_batch_native(idxs, rng)
         items = [self.ds.__getitem__(int(i), rng=rng) for i in idxs]
         if self.mode == "pad":
             return pad_batch(items, self.ds.max_length)

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["get_lib", "pack_batch_native"]
+__all__ = ["get_lib", "pack_batch_native", "pack_batch_gather_native"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "packer.cpp")
@@ -64,6 +64,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),  # out_hw
             ctypes.POINTER(ctypes.c_int),  # lengths
         ]
+        lib.pack_batch_gather.restype = ctypes.c_int
+        lib.pack_batch_gather.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),  # paths
+            ctypes.POINTER(ctypes.c_int),  # flips
+            ctypes.POINTER(ctypes.c_int),  # gather (n, n_out)
+            ctypes.c_int,  # n
+            ctypes.c_int,  # n_out
+            ctypes.c_int,  # patch
+            ctypes.c_int,  # dtok
+            ctypes.POINTER(ctypes.c_float),  # out_tokens
+            ctypes.POINTER(ctypes.c_ubyte),  # out_mask
+            ctypes.POINTER(ctypes.c_int),  # out_hw
+            ctypes.POINTER(ctypes.c_int),  # lengths
+        ]
         _lib = lib
         return _lib
 
@@ -88,6 +102,44 @@ def pack_batch_native(
         c_paths,
         flips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n, patch, max_len, dtok,
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    if err != 0:
+        bad = -err - 1
+        raise IOError(f"native packer failed on {paths[bad]} (code {lengths[bad]})")
+    return tokens, mask.astype(bool), hw, lengths
+
+
+def pack_batch_gather_native(
+    paths, flips: np.ndarray, gather: np.ndarray, patch: int, dtok: int
+):
+    """Bucket-mode packing: per-sample row GATHER instead of identity-pad.
+    ``gather`` (B, n) int32 maps each output row to a source token index, -1
+    = zero pad row (mask False). The caller draws the subsample permutations
+    (masked_FiT ``iterators.py:142-152`` semantics) so the rng stream stays
+    bit-identical to the pure-numpy path; C++ only does IO/convert/flip/
+    patchify/gather, GIL-free over OpenMP threads."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native packer unavailable (no compiler?)")
+    n, n_out = gather.shape
+    assert n == len(paths)
+    tokens = np.zeros((n, n_out, dtok), np.float32)
+    mask = np.zeros((n, n_out), np.uint8)
+    hw = np.zeros((n, 2), np.int32)
+    lengths = np.zeros((n,), np.int32)
+    flips = np.ascontiguousarray(flips, dtype=np.int32)
+    gather = np.ascontiguousarray(gather, dtype=np.int32)
+
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    err = lib.pack_batch_gather(
+        c_paths,
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        gather.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n, n_out, patch, dtok,
         tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

@@ -191,6 +191,81 @@ int pack_one(const char* path, int patch, int max_len, int dtok, int flip,
   return t_true;
 }
 
+// Bucket-mode (masked_FiT) variant: load + patchify one latent, then GATHER
+// output rows by a caller-provided index map instead of identity-padding.
+// gather (n_out ints): source token index per output row, or -1 for a zero
+// pad row (mask 0). The caller (Python) draws the subsample permutation so
+// the rng stream stays bit-identical to the pure-numpy bucket path.
+int pack_one_gather(const char* path, int patch, int dtok, int flip,
+                    const int* gather, int n_out, float* out_tokens,
+                    unsigned char* out_mask, int* out_hw) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  NpyInfo info;
+  if (!parse_npy_header(f, &info) || info.ndim != 3) {
+    fclose(f);
+    return -2;
+  }
+  const int c = (int)info.shape[0], h = (int)info.shape[1], w = (int)info.shape[2];
+  if (patch * patch * c != dtok) {
+    fclose(f);
+    return -3;
+  }
+  const long n = (long)c * h * w;
+  float* lat = new float[n];
+  if (info.word == 2) {
+    uint16_t* raw = new uint16_t[n];
+    if (fseek(f, info.data_offset, SEEK_SET) != 0 || fread(raw, 2, n, f) != (size_t)n) {
+      delete[] raw;
+      delete[] lat;
+      fclose(f);
+      return -4;
+    }
+    for (long i = 0; i < n; ++i) lat[i] = half_to_float(raw[i]);
+    delete[] raw;
+  } else {
+    if (fseek(f, info.data_offset, SEEK_SET) != 0 || fread(lat, 4, n, f) != (size_t)n) {
+      delete[] lat;
+      fclose(f);
+      return -4;
+    }
+  }
+  fclose(f);
+
+  if (flip) {
+    for (int ch = 0; ch < c; ++ch) {
+      for (int row = 0; row < h; ++row) {
+        float* r = lat + ((long)ch * h + row) * w;
+        for (int i = 0, j = w - 1; i < j; ++i, --j) {
+          float t = r[i];
+          r[i] = r[j];
+          r[j] = t;
+        }
+      }
+    }
+  }
+
+  const int t_true = (h / patch) * (w / patch);
+  float* scratch = new float[(long)t_true * dtok];
+  patchify_into(lat, c, h, w, patch, scratch);
+  delete[] lat;
+  for (int j = 0; j < n_out; ++j) {
+    const int g = gather[j];
+    float* dst = out_tokens + (long)j * dtok;
+    if (g >= 0 && g < t_true) {
+      memcpy(dst, scratch + (long)g * dtok, (size_t)dtok * sizeof(float));
+      out_mask[j] = 1;
+    } else {
+      memset(dst, 0, (size_t)dtok * sizeof(float));
+      out_mask[j] = 0;
+    }
+  }
+  delete[] scratch;
+  out_hw[0] = h;
+  out_hw[1] = w;
+  return t_true;
+}
+
 // Pack a whole batch in parallel (OpenMP). flips: per-sample 0/1.
 // Returns 0 on success; on error the index of the first failing sample is
 // encoded as -(i+1) and lengths[i] holds its pack_one error code.
@@ -203,6 +278,27 @@ int pack_batch(const char** paths, const int* flips, int n, int patch,
     int r = pack_one(paths[i], patch, max_len, dtok, flips[i],
                      out_tokens + (long)i * max_len * dtok,
                      out_mask + (long)i * max_len, out_hw + 2 * i);
+    lengths[i] = r;
+    if (r <= 0) {
+#pragma omp critical
+      err = -(i + 1);
+    }
+  }
+  return err;
+}
+
+// Batched gather variant (bucket mode): gather is (n, n_out) row-major.
+int pack_batch_gather(const char** paths, const int* flips, const int* gather,
+                      int n, int n_out, int patch, int dtok,
+                      float* out_tokens, unsigned char* out_mask, int* out_hw,
+                      int* lengths) {
+  int err = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    int r = pack_one_gather(paths[i], patch, dtok, flips[i],
+                            gather + (long)i * n_out, n_out,
+                            out_tokens + (long)i * n_out * dtok,
+                            out_mask + (long)i * n_out, out_hw + 2 * i);
     lengths[i] = r;
     if (r <= 0) {
 #pragma omp critical
