@@ -47,7 +47,7 @@ class Trainer:
         remat = cfg.remat if cfg.remat is not None else (cfg.packing == "pad")
         self.mesh = make_mesh(tp=cfg.tp, sp=cfg.sp, pp=cfg.pp, ep=cfg.ep)
         if cfg.pp > 1:
-            assert cfg.tp == 1 and cfg.sp == 1 and cfg.ep == 1, (
+            assert cfg.tp == 1 and cfg.sp == 1 and cfg.ep == 1 and not cfg.fsdp, (
                 "pp composes with dp only"
             )
             assert cfg.scan_blocks, "pipeline parallelism needs scan_blocks"

@@ -18,6 +18,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# The three launches (control, interrupted, resume) compile the identical
+# training step; a persistent compilation cache turns launches 2-4 from a
+# ~7 min compile into a cache hit.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/fit_tpu_jax_cache}
+
 LAT=${LAT:-/root/reference/latent}
 OUT=${OUT:-runs/convergence}
 STEPS=${STEPS:-6000}

@@ -360,6 +360,43 @@ def test_moe_sp_composition():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+def test_moe_sp_ep_composition():
+    """sp x ep (x dp): Ulysses token-sharded attention AND expert-sharded
+    FFN in the same mesh — the dispatch einsum's input arrives sharded
+    ('data','seq') and its output is pinned ('data','expert'), so GSPMD
+    must chain the token->expert all-to-all after the head all-to-alls.
+    Forward matches the unsharded run (README composition matrix cell)."""
+    mesh = make_mesh(dp=2, sp=2, ep=2)
+    kw = fit_kwargs(scan_blocks=True)
+    base = FiT(**kw)
+    model = FiT(**kw, ep_mesh=mesh, seq_mesh=mesh)
+    args = fit_batch()
+    params = base.init({"params": jax.random.PRNGKey(0)}, *args, train=True)
+    want = np.asarray(base.apply(params, *args, train=True, rngs=RNGS))
+
+    with mesh:
+        params_s, _ = shard_params(params, mesh, ep=True)
+        sharded = {
+            k: jax.device_put(
+                v,
+                NamedSharding(
+                    mesh,
+                    P("data", "seq", *[None] * (v.ndim - 2))
+                    if k in ("tokens", "pos", "mask")
+                    else P("data"),
+                ),
+            )
+            for k, v in zip(("tokens", "t", "y", "pos", "mask"), args)
+        }
+        got = jax.jit(
+            lambda p, a: model.apply(
+                p, a["tokens"], a["t"], a["y"], a["pos"], a["mask"],
+                train=True, rngs=RNGS,
+            )
+        )(params_s, sharded)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
 def test_router_jitter_train_only_and_seeded():
     """router_jitter: two different "moe_jitter" keys give different routing
     noise (outputs differ); with no jitter rng supplied the module is
