@@ -193,17 +193,20 @@ def measure_serve(model, params, batch, steps, sampler="dpm", mixed=True):
     return n_total / dt, idle_latency_s, stats
 
 
-def build_train(model_name):
+def build_train(model_name, remat=True, ffn="swiglu", moe_experts=8):
     from fit_tpu.models import create_fit
 
-    # remat on: measured faster than saving scan residuals on v5e (+10%)
+    # remat default on: measured faster than saving scan residuals on v5e at
+    # B/2 long-T; `--train-remat none/dots` measures the alternatives (the
+    # XL/2 training-ceiling sweep in BASELINE.md)
     return create_fit(
         model_name, dtype=jnp.bfloat16, attn_backend="auto",
-        scan_blocks=True, remat=True,
+        scan_blocks=True, remat=remat, ffn=ffn, moe_experts=moe_experts,
     )
 
 
-def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dtype=None):
+def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dtype=None,
+                  remat=True, ffn="swiglu", moe_experts=8):
     """Training-step throughput (images/sec/chip) on synthetic latents —
     the reference's training configuration is FiT-B/2, global batch 128,
     bf16, grad-accum 2 (FiT/launch.sbatch:13, train.py:287-288). ``t_len``
@@ -217,7 +220,7 @@ def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dt
     from fit_tpu.train import create_train_state, make_optimizer, make_train_step
     from fit_tpu.train.step import split_for_accumulation
 
-    model = build_train(model_name)
+    model = build_train(model_name, remat=remat, ffn=ffn, moe_experts=moe_experts)
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
     tx = make_optimizer(moment_dtype=state_dtype)
@@ -226,7 +229,8 @@ def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dt
     # v5e HBM if the step updates it in place; shapes stay readable for the
     # roofline's param count after donation
     step_fn = make_train_step(
-        model.apply, create_diffusion(None), tx, grad_accum=grad_accum, donate=True
+        model.apply, create_diffusion(None), tx, grad_accum=grad_accum, donate=True,
+        moe_aux_weight=0.01 if ffn == "moe" else 0.0,
     )
     rng = np.random.default_rng(0)
     lengths = rng.integers(max(t_len // 2, 1), t_len + 1, size=batch)
@@ -248,6 +252,31 @@ def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dt
     jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt, model, params
+
+
+def measure_vae_encode(batch, size, iters=10):
+    """L0 preprocessing throughput: jitted flax AutoencoderKL encode on
+    (batch, size, size, 3) images, random weights (the real sd-vae weights
+    are egress-blocked; conv structure and therefore throughput are
+    weight-independent). Mirrors data/preprocess.py:100-103's jit."""
+    import numpy as np
+
+    from fit_tpu.vae import AutoencoderKL
+
+    vae = AutoencoderKL()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, size, size, 3)).astype(np.float32))
+    params = jax.jit(
+        lambda k: vae.init(k, x[:1], method=AutoencoderKL.encode_mode)
+    )(jax.random.PRNGKey(0))
+    enc = jax.jit(lambda p, a: vae.apply(p, a, method=AutoencoderKL.encode_mode))
+    jax.device_get(enc(params, x)[0, 0, 0])  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = enc(params, x)
+    jax.device_get(out[0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt * 1e3
 
 
 def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
@@ -319,7 +348,8 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["sample", "train", "extrapolate", "serve"], default="sample",
+        "--mode", choices=["sample", "train", "extrapolate", "serve", "vae"],
+        default="sample",
         help="extrapolate = 512x512 via VisionNTK (T=1024, attention-dominated); "
         "serve = closed-loop load test of the live HTTP-serving batcher "
         "(mixed resolutions, DPM-Solver++ 25 steps)",
@@ -338,6 +368,17 @@ def main():
                     help="train-mode sequence length (1024 = 512^2 budget, "
                     "2304 = 768^2 budget via VisionNTK)")
     ap.add_argument("--train-accum", type=int, default=2)
+    ap.add_argument("--train-remat", choices=["full", "dots", "none"],
+                    default="full",
+                    help="rematerialization policy for train mode: full = "
+                    "replay each block's forward in the backward (default, "
+                    "lowest memory); dots = save matmul outputs, replay "
+                    "elementwise; none = save all residuals (highest memory, "
+                    "no replay — the BASELINE.md training-ceiling lever)")
+    ap.add_argument("--train-ffn", choices=["swiglu", "moe"], default="swiglu",
+                    help="moe = Switch top-1 MoE FFN (single-chip ep=1 row: "
+                    "the dense-FFN roofline delta at E x parameters)")
+    ap.add_argument("--moe-experts", type=int, default=8)
     ap.add_argument("--train-state-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="bfloat16 = Adam moments + EMA stored bf16 via "
@@ -388,11 +429,17 @@ def main():
         batch = args.batch or (128 if on_tpu else 4)
         t_len = args.train_tokens if on_tpu else 32
         sd = jnp.bfloat16 if args.train_state_dtype == "bfloat16" else None
+        remat = {"full": True, "dots": "dots", "none": False}[args.train_remat]
         imgs_per_sec, step_s, model, params = measure_train(
             model_name, batch, grad_accum=args.train_accum, t_len=t_len,
-            state_dtype=sd,
+            state_dtype=sd, remat=remat, ffn=args.train_ffn,
+            moe_experts=args.moe_experts,
         )
         tag = " sr-bf16-state" if sd is not None else ""
+        if args.train_remat != "full":
+            tag += f" remat-{args.train_remat}"
+        if args.train_ffn == "moe":
+            tag += f" moe-e{args.moe_experts}"
         out = {
             "metric": f"train images/sec/chip {model_name} {t_len}tok bf16 "
                       f"accum{args.train_accum}{tag}",
@@ -403,9 +450,27 @@ def main():
             "batch": batch,
             "backend": jax.default_backend(),
         }
-        out["roofline"] = train_roofline(model, params, batch, t_len, step_s)
+        out["roofline"] = train_roofline(
+            model, params, batch, t_len, step_s, remat=bool(remat)
+        )
         if "mfu" in out["roofline"]:
             out["mfu"] = out["roofline"]["mfu"]
+        print(json.dumps(out))
+        return
+
+    if args.mode == "vae":
+        batch = args.batch or (8 if on_tpu else 2)
+        size = 256 if on_tpu else 64
+        img_s, enc_ms = measure_vae_encode(batch, size)
+        out = {
+            "metric": f"vae encode images/sec/chip {size}x{size}",
+            "value": round(img_s, 2),
+            "unit": "img/s/chip",
+            "vs_baseline": 1.0,
+            "encode_ms": round(enc_ms, 3),
+            "batch": batch,
+            "backend": jax.default_backend(),
+        }
         print(json.dumps(out))
         return
 
