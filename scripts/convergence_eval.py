@@ -20,8 +20,11 @@ model and reports the quality drift of the serving path on TRAINED weights
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def load_train_latents(root, shape=(4, 28, 36)):
