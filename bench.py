@@ -279,7 +279,8 @@ def measure_vae_encode(batch, size, iters=10):
     return batch / dt, dt * 1e3
 
 
-def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
+def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True,
+                   state_bytes=4):
     """MFU + roofline bounds for one TRAINING step (VERDICT r2 item 4 —
     training is the reference's primary workload and needs the same
     what-does-the-hardware-permit anchoring the sampling bench got).
@@ -300,7 +301,10 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
     )
 
     fwd = fit_forward_flops(
-        model.hidden_size, model.depth, model.num_heads, t=t_tokens, batch=batch
+        model.hidden_size, model.depth, model.num_heads, t=t_tokens, batch=batch,
+        ffn=getattr(model, "ffn", "swiglu"),
+        moe_experts=getattr(model, "moe_experts", 8),
+        moe_capacity=getattr(model, "moe_capacity", 1.25),
     )
     fl = fwd.scaled(3.0)
     hw = fwd.scaled(4.0 if remat else 3.0)  # remat replays the forward
@@ -324,6 +328,9 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
             "rope_ms": fl.rope / (peak * attn_eff) * 1e3,
             "cond_ms": fl.cond / peak * 1e3,
         }
+        if fl.dispatch:
+            # MoE dispatch/combine einsums: full-width D contraction -> peak
+            ideal["moe_dispatch_ms"] = fl.dispatch / peak * 1e3
         if vpu:
             ideal["softmax_vpu_ms"] = (
                 softmax_vpu_ops(
@@ -338,10 +345,14 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True):
         report["compute_bound_ms"] = round(sum(ideal.values()), 3)
         report["overhead_ms"] = round(step_lat_s * 1e3 - sum(ideal.values()), 3)
     if bw:
-        # an AdamW step reads params+grads+2 moments and writes params+
-        # moments+EMA: ~9 fp32-equivalent param-sized transfers (bf16 fwd
-        # reads are the cheap part) — the optimizer's bandwidth floor
-        report["optimizer_hbm_ms"] = round(n_params * 4 * 9 / bw * 1e3, 3)
+        # an AdamW step reads params(4B)+grads(4B), reads+writes both
+        # moments and the EMA (state_bytes each), writes params(4B):
+        # 12 + 6*state_bytes bytes/param = 36 at fp32 state, 24 at bf16-SR
+        # (bf16 fwd weight reads are the cheap part) — the optimizer's
+        # bandwidth floor
+        report["optimizer_hbm_ms"] = round(
+            n_params * (12 + 6 * state_bytes) / bw * 1e3, 3
+        )
     return report
 
 
@@ -451,7 +462,8 @@ def main():
             "backend": jax.default_backend(),
         }
         out["roofline"] = train_roofline(
-            model, params, batch, t_len, step_s, remat=bool(remat)
+            model, params, batch, t_len, step_s, remat=bool(remat),
+            state_bytes=2 if sd is not None else 4,
         )
         if "mfu" in out["roofline"]:
             out["mfu"] = out["roofline"]["mfu"]

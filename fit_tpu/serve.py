@@ -140,6 +140,7 @@ class SamplingServer:
         self._served = 0
         self._rejected = 0
         self._expired = 0
+        self._expired_after_dispatch = 0
         self._batches = 0
         self._slots = 0
         self._latencies: list[float] = []
@@ -347,6 +348,13 @@ class SamplingServer:
             # sample via a single device_get over the list
             host = jax.device_get(list(latents[:n]))
             now = time.monotonic()
+            # a dispatched request always completes (diffusion batch
+            # semantics: its slot can't be reclaimed mid-denoise) — count
+            # how many resolved past their deadline so an operator can see
+            # compute spent on results nobody is waiting for
+            late = sum(
+                1 for r in batch if r.deadline is not None and now > r.deadline
+            )
             for req, lat in zip(batch, host):
                 if self._decode is not None:
                     # (3, H, W) in [-1, 1] -> (H, W, 3) uint8 (the sample
@@ -361,6 +369,7 @@ class SamplingServer:
                 self._served += n
                 self._batches += 1
                 self._slots += self.batch_size
+                self._expired_after_dispatch += late
                 self._latencies.extend(now - r.t_submit for r in batch)
                 if len(self._latencies) > 10_000:  # bound the stats window
                     self._latencies = self._latencies[-10_000:]
@@ -400,6 +409,10 @@ class SamplingServer:
                 "max_queue": self.max_queue,
                 "rejected": self._rejected,  # ServerOverloaded submits (429s)
                 "expired": self._expired,  # deadline_s passed while queued
+                # dispatched slots whose result resolved after the deadline:
+                # compute spent on answers nobody waits for (the operator's
+                # "lower deadline_s or add chips" signal)
+                "expired_after_dispatch": self._expired_after_dispatch,
             }
             if lat:
                 out["latency_p50_s"] = lat[len(lat) // 2]

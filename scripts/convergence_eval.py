@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
     ap.add_argument("--equalize", type=int, default=0)
     ap.add_argument("--tag", default=None, help="artifact name suffix")
+    # convergence-matrix cells: the moe cell's checkpoint needs the matching
+    # model flavor to restore (sr/bucket cells share the dense architecture)
+    ap.add_argument("--ffn", choices=["swiglu", "moe"], default="swiglu")
+    ap.add_argument("--moe-experts", type=int, default=4)
     args = ap.parse_args()
 
     from fit_tpu.cli.sample import load_model_and_params
@@ -118,6 +122,7 @@ def main():
     cfg = SampleConfig(
         checkpoint_path=os.path.join(args.run_dir, "checkpoints"),
         model="FiT-B/2", use_ema=True, dtype="bfloat16", scan_blocks=True,
+        ffn=args.ffn, moe_experts=args.moe_experts,
     )
     model, params = load_model_and_params(
         cfg, quant=args.quant, equalize=args.equalize

@@ -28,6 +28,11 @@
 #                             (1k samples inflate the published 50k FID of
 #                             ~4.2 by roughly this much; >50 indicates a real
 #                             pipeline bug, not sampling noise)
+#   [5] int8 serving quality: same FID protocol through --quant int8
+#                             [--quant-equalize 8]; expect <1 FID point of
+#                             drift vs [4] (the local stand-in — int8 on the
+#                             convergence-trained checkpoint — is recorded in
+#                             artifacts/convergence/sample_stats_int8*.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 for kv in "$@"; do export "$kv"; done
@@ -137,6 +142,19 @@ if [[ -n "$FIT_CKPT" ]]; then
       --samples-dir "$OUT/fid_samples" --reference "$REF_STATS" \
       --inception-weights "$INCEPTION_CKPT"
     echo "(expect FID 15-35 at 1k samples; >50 = pipeline bug)"
+
+    echo "== [5] int8 serving-path FID delta =="
+    python -m fit_tpu.cli.sample \
+      --torch-checkpoint "$FIT_CKPT" --model FiT-XL/2 \
+      --num-samples 1000 --num-sampling-steps 250 --cfg-scale 1.5 \
+      --quant int8 --quant-equalize 8 \
+      --vae-checkpoint "$VAE_CKPT" --batch-size 32 \
+      --output-dir "$OUT/fid_samples_int8"
+    python -m fit_tpu.cli.fid \
+      --samples-dir "$OUT/fid_samples_int8" --reference "$REF_STATS" \
+      --inception-weights "$INCEPTION_CKPT"
+    echo "(expect <1 FID point drift vs [4] — the SmoothQuant-equalized"
+    echo " w8a8 path; compare artifacts/convergence/sample_stats_int8*.json)"
   fi
 fi
 echo "validation complete"

@@ -60,6 +60,41 @@ def test_softmax_vpu_ops_scaling():
     )
 
 
+def test_moe_flops_accounting():
+    """Top-1 MoE at capacity factor 1.0 runs EXACTLY the dense SwiGLU FFN
+    matmul volume (slots == tokens); the honest-MFU delta is the dispatch/
+    combine einsums + router, pinned here so `bench.py --train-ffn moe`
+    can't silently report dense-FFN MFU (VERDICT r4 item 6)."""
+    import math
+
+    dense = fit_forward_flops(768, 12, 12, t=256)
+    moe = fit_forward_flops(
+        768, 12, 12, t=256, ffn="moe", moe_experts=8, moe_capacity=1.0
+    )
+    assert dense.dispatch == 0.0
+    assert moe.dense == pytest.approx(dense.dense)  # cf=1: slots == t
+    assert moe.attention == dense.attention and moe.rope == dense.rope
+    slots = 256
+    expect = 12 * (2 * 2 * 256 * slots * 768 + 2 * 256 * 768 * 8)
+    assert moe.dispatch == pytest.approx(expect)
+    assert moe.total == pytest.approx(dense.total + moe.dispatch)
+
+    # capacity factor 1.25 inflates ONLY the FFN share of dense by ~1.25x
+    moe125 = fit_forward_flops(
+        768, 12, 12, t=256, ffn="moe", moe_experts=8, moe_capacity=1.25
+    )
+    dh = int(768 * 4 * 2 / 3)
+    ffn_dense = 12 * 256 * 3 * 2 * 768 * dh
+    slots125 = 8 * math.ceil(256 / 8 * 1.25)
+    assert moe125.dense - dense.dense == pytest.approx(
+        (slots125 - 256) / 256 * ffn_dense
+    )
+    # batch scaling covers the new component too
+    assert fit_forward_flops(
+        768, 12, 12, t=256, batch=4, ffn="moe", moe_experts=8
+    ).dispatch == pytest.approx(4 * moe125.dispatch)
+
+
 def test_peak_tables_are_consistent():
     for kind, row in _PEAKS.items():
         mxu, hbm, vpu = row
