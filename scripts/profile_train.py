@@ -43,12 +43,35 @@ def bucket(name: str) -> str:
     return "other"
 
 
+# Wrapper/container ops whose event DURATION spans their children or an
+# async in-flight window (a copy-start on a 4-float tensor shows 200+ ms;
+# a %while over the 28-layer scan spans the whole step): summing them
+# massively double-counts. Excluded from totals AND from the busy-union —
+# the real loop-body ops appear as their own events on the same line.
+_ASYNC_WRAPPERS = ("copy-start", "copy-done", "-start.", "-done.",
+                   "send", "recv")
+_CONTAINERS = ("while", "conditional", "call.")
+
+
+def _is_async_wrapper(name: str) -> bool:
+    n = name.lower().lstrip("%")
+    return (
+        any(w in n for w in _ASYNC_WRAPPERS)
+        or n.endswith(("-start", "-done"))
+        or any(n.startswith(c) for c in _CONTAINERS)
+    )
+
+
 def parse_xplane(logdir):
     """Sum per-op durations from the busiest device plane's op-level lines.
 
     Picks the plane whose name mentions TPU (falls back to the busiest
     non-host plane) and, within it, aggregates every line whose events carry
-    HLO-op metadata. Returns {op_name: total_seconds} and the trace span.
+    HLO-op metadata — excluding async start/done wrappers (their duration is
+    the async WINDOW, not busy time). Returns ({op_name: total_seconds},
+    trace_span_s, busy_union_s): busy_union is the merged-interval time the
+    core spent in any real op, so span - busy = stalls (DMA waits, host
+    gaps, infeed).
     """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -63,23 +86,64 @@ def parse_xplane(logdir):
         device_planes = [p for p in space.planes if "host" not in p.name.lower()]
     totals = collections.Counter()
     span_ps = 0
+    intervals = []
+    async_intervals = []  # "Async XLA Ops" windows: DMA in flight
     for plane in device_planes:
         meta = {mid: m.name for mid, m in plane.event_metadata.items()}
-        # use the line with the largest total duration (the op-level line;
-        # step/module lines double-count their children)
-        best_line, best_total = None, -1
-        for line in plane.lines:
-            tot = sum(ev.duration_ps for ev in line.events)
-            if tot > best_total:
-                best_line, best_total = line, tot
-        if best_line is None:
+        # the op-level line: named "XLA Ops" on TPU device planes; fall back
+        # to the line with the most events (step/module lines have only a
+        # handful of per-step/per-module spans, the op line has thousands)
+        named = [
+            ln for ln in plane.lines
+            if "op" in (ln.name or "").lower()
+            and "async" not in (ln.name or "").lower()
+        ]
+        if named:
+            best_line = max(named, key=lambda ln: len(ln.events))
+        elif plane.lines:
+            best_line = max(plane.lines, key=lambda ln: len(ln.events))
+        else:
             continue
         t0 = min((ev.offset_ps for ev in best_line.events), default=0)
         t1 = max((ev.offset_ps + ev.duration_ps for ev in best_line.events), default=0)
         span_ps = max(span_ps, t1 - t0)
         for ev in best_line.events:
-            totals[meta.get(ev.metadata_id, f"op{ev.metadata_id}")] += ev.duration_ps
-    return {k: v / 1e12 for k, v in totals.items()}, span_ps / 1e12
+            name = meta.get(ev.metadata_id, f"op{ev.metadata_id}")
+            if _is_async_wrapper(name):
+                continue
+            totals[name] += ev.duration_ps
+            intervals.append((ev.offset_ps, ev.offset_ps + ev.duration_ps))
+        # async line: each event is a launch->done WINDOW with a DMA (or
+        # other async op) in flight — union them with compute to split
+        # "core idle but DMA busy" from genuine idle
+        for line in plane.lines:
+            if "async" in (line.name or "").lower():
+                async_intervals.extend(
+                    (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                    for ev in line.events
+                )
+
+    def union_ps(ivs):
+        ivs = sorted(ivs)
+        busy = 0
+        cur_s = cur_e = None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            busy += cur_e - cur_s
+        return busy
+
+    return (
+        {k: v / 1e12 for k, v in totals.items()},
+        span_ps / 1e12,
+        union_ps(intervals) / 1e12,
+        union_ps(intervals + async_intervals) / 1e12,
+    )
 
 
 def main():
@@ -93,7 +157,18 @@ def main():
     ap.add_argument("--remat", choices=["full", "dots", "none"], default="full")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--parse-only", default=None, metavar="LOGDIR",
+                    help="re-parse an existing trace dir (no TPU run); pass "
+                    "--measured-ms to carry the measured step time into the "
+                    "report")
+    ap.add_argument("--measured-ms", type=float, default=0.0)
     args = ap.parse_args()
+
+    if args.parse_only:
+        step_s = args.measured_ms / 1e3 if args.measured_ms else None
+        logdir = args.parse_only
+        report_and_exit(args, logdir, step_s)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -145,7 +220,11 @@ def main():
             state, m = step_fn(state, batch_d, jax.random.fold_in(key, i))
         force_completion(m["loss"])
 
-    totals, span = parse_xplane(logdir)
+    report_and_exit(args, logdir, step_s)
+
+
+def report_and_exit(args, logdir, step_s):
+    totals, span, busy, busy_w_dma = parse_xplane(logdir)
     by_bucket = collections.Counter()
     for name, sec in totals.items():
         by_bucket[bucket(name)] += sec
@@ -153,8 +232,13 @@ def main():
     print(f"\ntrace: {span * 1e3:.1f} ms span, {dev_total * 1e3:.1f} ms device-op "
           f"time over {args.steps} steps "
           f"({dev_total / args.steps * 1e3:.1f} ms/step device)")
-    print(f"device busy fraction of measured step: "
-          f"{dev_total / args.steps / step_s:.3f}\n")
+    print(f"compute busy-union {busy * 1e3:.1f} ms; compute+DMA "
+          f"{busy_w_dma * 1e3:.1f} ms; genuine idle "
+          f"{(span - busy_w_dma) * 1e3:.1f} ms over the span")
+    if step_s:
+        print(f"core busy fraction of measured step: "
+              f"{busy / args.steps / step_s:.3f}; DMA-covered "
+              f"{(busy_w_dma - busy) / args.steps / step_s:.3f}\n")
     print("-- by bucket (ms/step) --")
     for k, v in by_bucket.most_common():
         print(f"  {k:28s} {v / args.steps * 1e3:9.2f}  "
@@ -166,12 +250,18 @@ def main():
         "model": args.model, "batch": args.batch, "accum": args.accum,
         "tokens": args.tokens, "remat": args.remat,
         "state_dtype": args.state_dtype,
-        "measured_step_ms": round(step_s * 1e3, 2),
         "device_ms_per_step": round(dev_total / args.steps * 1e3, 2),
+        "compute_busy_ms_per_step": round(busy / args.steps * 1e3, 2),
+        "dma_only_ms_per_step": round(
+            (busy_w_dma - busy) / args.steps * 1e3, 2
+        ),
+        "idle_ms_over_span": round((span - busy_w_dma) * 1e3, 2),
         "buckets_ms_per_step": {
             k: round(v / args.steps * 1e3, 2) for k, v in by_bucket.items()
         },
     }
+    if step_s:
+        out["measured_step_ms"] = round(step_s * 1e3, 2)
     print("\n" + json.dumps(out))
 
 
