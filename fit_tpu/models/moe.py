@@ -130,11 +130,20 @@ class MoeSwiGLU(nn.Module):
         # carries them — Switch overflow semantics) ---
         pos = (jnp.cumsum(onehot, axis=1) - 1.0) * onehot  # (B, T, E)
         keep = onehot * (pos < cap)
-        dispatch = keep[..., None] * jax.nn.one_hot(
-            pos.astype(jnp.int32), cap, dtype=jnp.float32
+        # dispatch holds exactly {0, 1}: building it straight in the compute
+        # dtype is lossless and halves the HBM footprint of the largest
+        # routing tensor
+        cd = self.dtype
+        dispatch = keep.astype(cd)[..., None] * jax.nn.one_hot(
+            pos.astype(jnp.int32), cap, dtype=cd
         )  # (B, T, E, C)
         gate = jnp.sum(gates * keep, axis=-1)  # (B, T), 0 for dropped/padded
-        combine = dispatch * gate[..., None, None]
+        # the classical GShard combine tensor is dispatch * gate[:,:,None,
+        # None] — but gate depends only on (b, t), so the combine einsum can
+        # reuse `dispatch` and scale its OUTPUT by gate instead: one fewer
+        # (B, T, E, C) materialization + HBM round trip per block (at B/2
+        # E=8 micro-64 that tensor is 84 MB; the r5 profile showed routing
+        # overhead, not expert matmuls, dominating the MoE step)
 
         # --- stacked expert weights; leading E shards over 'expert' ---
         h = self.hidden_features
@@ -145,9 +154,8 @@ class MoeSwiGLU(nn.Module):
         w2 = self.param("w2", _expert_init, (e, h, self.out_features))
         b2 = self.param("b2", nn.initializers.zeros, (e, self.out_features))
 
-        cd = self.dtype
         xe = jnp.einsum(
-            "btd,btec->becd", x.astype(cd), dispatch.astype(cd)
+            "btd,btec->becd", x.astype(cd), dispatch
         )  # (B, E, C, D)
         xe = self._pin(xe)
         g = jnp.einsum("becd,edh->bech", xe, w1_g.astype(cd)) + b1_g.astype(cd)[None, :, None]
@@ -155,9 +163,11 @@ class MoeSwiGLU(nn.Module):
         hid = nn.silu(g) * v
         ye = jnp.einsum("bech,ehd->becd", hid, w2.astype(cd)) + b2.astype(cd)[None, :, None]
         ye = self._pin(ye)
-        # combine: empty slots have zero weight, so the (bias-fed) garbage an
-        # unused expert slot computes never reaches a token
-        return jnp.einsum("becd,btec->btd", ye, combine.astype(cd))
+        # combine: empty slots have zero dispatch weight, so the (bias-fed)
+        # garbage an unused expert slot computes never reaches a token;
+        # dropped/padded tokens have gate == 0
+        out = jnp.einsum("becd,btec->btd", ye, dispatch)
+        return out * gate[..., None].astype(cd)
 
     def _pin(self, a: Array) -> Array:
         """Constrain (B, E, C, ...) expert activations to
