@@ -193,7 +193,8 @@ def measure_serve(model, params, batch, steps, sampler="dpm", mixed=True):
     return n_total / dt, idle_latency_s, stats
 
 
-def build_train(model_name, remat=True, ffn="swiglu", moe_experts=8):
+def build_train(model_name, remat=True, ffn="swiglu", moe_experts=8,
+                moe_dispatch="auto"):
     from fit_tpu.models import create_fit
 
     # remat default on: measured faster than saving scan residuals on v5e at
@@ -202,11 +203,12 @@ def build_train(model_name, remat=True, ffn="swiglu", moe_experts=8):
     return create_fit(
         model_name, dtype=jnp.bfloat16, attn_backend="auto",
         scan_blocks=True, remat=remat, ffn=ffn, moe_experts=moe_experts,
+        moe_dispatch=moe_dispatch,
     )
 
 
 def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dtype=None,
-                  remat=True, ffn="swiglu", moe_experts=8):
+                  remat=True, ffn="swiglu", moe_experts=8, moe_dispatch="auto"):
     """Training-step throughput (images/sec/chip) on synthetic latents —
     the reference's training configuration is FiT-B/2, global batch 128,
     bf16, grad-accum 2 (FiT/launch.sbatch:13, train.py:287-288). ``t_len``
@@ -220,7 +222,8 @@ def measure_train(model_name, batch, grad_accum=2, iters=10, t_len=256, state_dt
     from fit_tpu.train import create_train_state, make_optimizer, make_train_step
     from fit_tpu.train.step import split_for_accumulation
 
-    model = build_train(model_name, remat=remat, ffn=ffn, moe_experts=moe_experts)
+    model = build_train(model_name, remat=remat, ffn=ffn, moe_experts=moe_experts,
+                        moe_dispatch=moe_dispatch)
     head_dim = model.hidden_size // model.num_heads
     params = init_params(model, head_dim)
     tx = make_optimizer(moment_dtype=state_dtype)
@@ -305,6 +308,12 @@ def train_roofline(model, params, batch, t_tokens, step_lat_s, remat=True,
         ffn=getattr(model, "ffn", "swiglu"),
         moe_experts=getattr(model, "moe_experts", 8),
         moe_capacity=getattr(model, "moe_capacity", 1.25),
+        # "auto" resolves the way models.moe does: sort unless expert-parallel
+        moe_dispatch=(
+            ("einsum" if getattr(model, "ep_mesh", None) is not None else "sort")
+            if getattr(model, "moe_dispatch", "einsum") == "auto"
+            else getattr(model, "moe_dispatch", "einsum")
+        ),
     )
     fl = fwd.scaled(3.0)
     hw = fwd.scaled(4.0 if remat else 3.0)  # remat replays the forward
@@ -390,6 +399,9 @@ def main():
                     help="moe = Switch top-1 MoE FFN (single-chip ep=1 row: "
                     "the dense-FFN roofline delta at E x parameters)")
     ap.add_argument("--moe-experts", type=int, default=8)
+    ap.add_argument("--moe-dispatch", choices=["auto", "sort", "einsum"],
+                    default="auto", help="MoE token movement: sort = argsort+"
+                    "gather fast path (no-EP), einsum = GShard one-hot")
     ap.add_argument("--train-state-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="bfloat16 = Adam moments + EMA stored bf16 via "
@@ -444,13 +456,15 @@ def main():
         imgs_per_sec, step_s, model, params = measure_train(
             model_name, batch, grad_accum=args.train_accum, t_len=t_len,
             state_dtype=sd, remat=remat, ffn=args.train_ffn,
-            moe_experts=args.moe_experts,
+            moe_experts=args.moe_experts, moe_dispatch=args.moe_dispatch,
         )
         tag = " sr-bf16-state" if sd is not None else ""
         if args.train_remat != "full":
             tag += f" remat-{args.train_remat}"
         if args.train_ffn == "moe":
             tag += f" moe-e{args.moe_experts}"
+            if args.moe_dispatch != "auto":
+                tag += f" {args.moe_dispatch}"
         out = {
             "metric": f"train images/sec/chip {model_name} {t_len}tok bf16 "
                       f"accum{args.train_accum}{tag}",

@@ -161,6 +161,7 @@ class FiT(nn.Module):
     # train-time multiplicative router-input jitter (models.moe); active
     # only when the caller provides a "moe_jitter" rng stream
     moe_router_jitter: float = 0.0
+    moe_dispatch: str = "auto"  # models.moe.MoeSwiGLU.dispatch
     ep_mesh: Any = None
 
     @property
@@ -262,6 +263,7 @@ class FiT(nn.Module):
             moe_experts=self.moe_experts,
             moe_capacity=self.moe_capacity,
             moe_router_jitter=self.moe_router_jitter,
+            moe_dispatch=self.moe_dispatch,
             ep_mesh=self.ep_mesh,
         )
         if self.remat == "dots":

@@ -472,6 +472,7 @@ class FiTBlock(nn.Module):
     moe_experts: int = 8
     moe_capacity: float = 1.25
     moe_router_jitter: float = 0.0
+    moe_dispatch: str = "auto"  # "sort" (no-EP fast path) | "einsum" (GShard)
     ep_mesh: Any = None
 
     def _sow(self, name: str, x) -> None:
@@ -550,6 +551,7 @@ class FiTBlock(nn.Module):
                 self.moe_experts, hidden, self.hidden_size,
                 capacity_factor=self.moe_capacity, dtype=self.dtype,
                 router_jitter=self.moe_router_jitter,
+                dispatch=self.moe_dispatch,
                 ep_mesh=self.ep_mesh, name="ffn",
             )
             ffn_takes_mask = True

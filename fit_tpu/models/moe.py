@@ -63,6 +63,24 @@ class MoeSwiGLU(nn.Module):
     hidden_features: int
     out_features: int
     capacity_factor: float = 1.25
+    # token->expert data movement strategy; the two are exactly equivalent —
+    # bit-identical outputs and grads on CPU and at fp32-highest on the TPU
+    # (test_moe.py::test_sort_dispatch_bit_identical; measured on the v5e).
+    # At bf16 matmul precision on the TPU they agree to ~2 ulps: XLA tiles
+    # the expert matmuls differently around the two dispatch forms, which
+    # reorders the bf16 accumulation — routing is still identical.
+    #   "einsum" — the GShard one-hot dispatch/combine contractions. The only
+    #     mode with an expert-parallel lowering (GSPMD turns the einsums into
+    #     all-to-alls), but it materializes (B, T, E, C) routing tensors and
+    #     burns 2*2*T*(E*C)*D MACs per block moving tokens.
+    #   "sort"   — group tokens by expert with one stable argsort along T and
+    #     move rows with take_along_axis gathers: no (B, T, E, C) tensor, no
+    #     T-contraction einsums (the combine einsum sums E*C terms of which
+    #     exactly ONE is nonzero per token — a gather computes the same value
+    #     bit-for-bit). Single-device / dp / fsdp / tp only: the gathers index
+    #     the local token axis, so there is no 'expert'-axis lowering.
+    #   "auto"   — sort when ep_mesh is None, einsum under expert parallelism.
+    dispatch: str = "auto"
     # multiplicative router-input jitter (Switch Transformer §2.2, ~1e-2):
     # scales the router's input by U[1-j, 1+j] so the argmax is not a fixed
     # deterministic function early in training — anti-collapse pressure on
@@ -125,25 +143,15 @@ class MoeSwiGLU(nn.Module):
             # collection (it would leak into the train state / checkpoints)
             self.sow("moe_aux", "load_balance", e * jnp.sum(frac * mean_prob))
 
-        # --- capacity assignment: slot index within the chosen expert is a
-        # cumsum down the token axis; tokens past `cap` drop (residual
-        # carries them — Switch overflow semantics) ---
-        pos = (jnp.cumsum(onehot, axis=1) - 1.0) * onehot  # (B, T, E)
-        keep = onehot * (pos < cap)
-        # dispatch holds exactly {0, 1}: building it straight in the compute
-        # dtype is lossless and halves the HBM footprint of the largest
-        # routing tensor
         cd = self.dtype
-        dispatch = keep.astype(cd)[..., None] * jax.nn.one_hot(
-            pos.astype(jnp.int32), cap, dtype=cd
-        )  # (B, T, E, C)
-        gate = jnp.sum(gates * keep, axis=-1)  # (B, T), 0 for dropped/padded
-        # the classical GShard combine tensor is dispatch * gate[:,:,None,
-        # None] — but gate depends only on (b, t), so the combine einsum can
-        # reuse `dispatch` and scale its OUTPUT by gate instead: one fewer
-        # (B, T, E, C) materialization + HBM round trip per block (at B/2
-        # E=8 micro-64 that tensor is 84 MB; the r5 profile showed routing
-        # overhead, not expert matmuls, dominating the MoE step)
+        mode = self.dispatch
+        if mode == "auto":
+            mode = "einsum" if self.ep_mesh is not None else "sort"
+        if mode == "sort" and self.ep_mesh is not None:
+            raise ValueError(
+                "dispatch='sort' gathers along the LOCAL token axis and has "
+                "no expert-parallel lowering; use 'einsum' (or 'auto') with ep"
+            )
 
         # --- stacked expert weights; leading E shards over 'expert' ---
         h = self.hidden_features
@@ -154,19 +162,76 @@ class MoeSwiGLU(nn.Module):
         w2 = self.param("w2", _expert_init, (e, h, self.out_features))
         b2 = self.param("b2", nn.initializers.zeros, (e, self.out_features))
 
-        xe = jnp.einsum(
-            "btd,btec->becd", x.astype(cd), dispatch
-        )  # (B, E, C, D)
-        xe = self._pin(xe)
-        g = jnp.einsum("becd,edh->bech", xe, w1_g.astype(cd)) + b1_g.astype(cd)[None, :, None]
-        v = jnp.einsum("becd,edh->bech", xe, w1_x.astype(cd)) + b1_x.astype(cd)[None, :, None]
-        hid = nn.silu(g) * v
-        ye = jnp.einsum("bech,ehd->becd", hid, w2.astype(cd)) + b2.astype(cd)[None, :, None]
-        ye = self._pin(ye)
-        # combine: empty slots have zero dispatch weight, so the (bias-fed)
-        # garbage an unused expert slot computes never reaches a token;
-        # dropped/padded tokens have gate == 0
-        out = jnp.einsum("becd,btec->btd", ye, dispatch)
+        def experts(xe: Array) -> Array:
+            """(B, E, C, D) capacity slots -> (B, E, C, out): the stacked
+            SwiGLU expert matmuls, shared by both dispatch modes."""
+            g = jnp.einsum("becd,edh->bech", xe, w1_g.astype(cd)) + b1_g.astype(cd)[None, :, None]
+            v = jnp.einsum("becd,edh->bech", xe, w1_x.astype(cd)) + b1_x.astype(cd)[None, :, None]
+            hid = nn.silu(g) * v
+            return jnp.einsum("bech,ehd->becd", hid, w2.astype(cd)) + b2.astype(cd)[None, :, None]
+
+        if mode == "einsum":
+            # --- capacity assignment: slot index within the chosen expert is
+            # a cumsum down the token axis; tokens past `cap` drop (residual
+            # carries them — Switch overflow semantics) ---
+            pos = (jnp.cumsum(onehot, axis=1) - 1.0) * onehot  # (B, T, E)
+            keep = onehot * (pos < cap)
+            # dispatch holds exactly {0, 1}: building it straight in the
+            # compute dtype is lossless and halves the HBM footprint of the
+            # largest routing tensor
+            dispatch = keep.astype(cd)[..., None] * jax.nn.one_hot(
+                pos.astype(jnp.int32), cap, dtype=cd
+            )  # (B, T, E, C)
+            gate = jnp.sum(gates * keep, axis=-1)  # (B, T), 0 if dropped
+            # the classical GShard combine tensor is dispatch * gate[:, :,
+            # None, None] — but gate depends only on (b, t), so the combine
+            # einsum can reuse `dispatch` and scale its OUTPUT by gate
+            # instead: one fewer (B, T, E, C) materialization + HBM round
+            # trip per block
+            xe = jnp.einsum(
+                "btd,btec->becd", x.astype(cd), dispatch
+            )  # (B, E, C, D)
+            xe = self._pin(xe)
+            ye = self._pin(experts(xe))
+            # combine: empty slots have zero dispatch weight, so the
+            # (bias-fed) garbage an unused expert slot computes never reaches
+            # a token; dropped/padded tokens have gate == 0
+            out = jnp.einsum("becd,btec->btd", ye, dispatch)
+            return out * gate[..., None].astype(cd)
+
+        # --- sort dispatch: group tokens by expert, move rows by gather ----
+        # padded tokens route to a sentinel group `e` that sorts AFTER every
+        # real expert, so they can never occupy a capacity slot
+        valid_b = valid.astype(bool)
+        e_sent = jnp.where(valid_b, expert_idx, e)  # (B, T)
+        # stable: tokens keep their order inside each expert group, so slot
+        # assignment == the einsum path's cumsum priority exactly
+        perm = jnp.argsort(e_sent, axis=1, stable=True)  # (B, T) token ids
+        sorted_e = jnp.take_along_axis(e_sent, perm, axis=1)
+        counts = jnp.sum(onehot, axis=1).astype(jnp.int32)  # (B, E)
+        starts = jnp.cumsum(counts, axis=1) - counts  # exclusive prefix
+        c_idx = jnp.arange(cap, dtype=jnp.int32)
+        src = starts[:, :, None] + c_idx[None, None, :]  # (B, E, C)
+        slot_valid = c_idx[None, None, :] < jnp.minimum(counts, cap)[:, :, None]
+        tok = jnp.take_along_axis(
+            perm, jnp.minimum(src, t - 1).reshape(b, e * cap), axis=1
+        )  # (B, E*C): which token fills each capacity slot
+        xe = jnp.take_along_axis(x.astype(cd), tok[:, :, None], axis=1)
+        xe = jnp.where(slot_valid.reshape(b, e * cap, 1), xe, 0)
+        ye = experts(xe.reshape(b, e, cap, d)).reshape(b, e * cap, -1)
+        # per-token slot: rank within its expert group in token order
+        rank_sorted = jnp.arange(t, dtype=jnp.int32)[None, :] - jnp.take_along_axis(
+            starts, jnp.minimum(sorted_e, e - 1), axis=1
+        )
+        inv = jnp.argsort(perm, axis=1)  # invert the permutation
+        rank = jnp.take_along_axis(rank_sorted, inv, axis=1)  # (B, T)
+        kept = valid_b & (rank < cap)
+        gate = jnp.take_along_axis(gates, expert_idx[:, :, None], axis=2)[:, :, 0]
+        gate = gate * kept  # 0 for dropped/padded, matching the einsum path
+        slot = expert_idx * cap + jnp.minimum(rank, cap - 1)  # (B, T)
+        # dropped tokens read a garbage slot through the clamp — and multiply
+        # it by gate == 0, same as the einsum combine's zero dispatch weight
+        out = jnp.take_along_axis(ye, slot[:, :, None], axis=1)  # (B, T, out)
         return out * gate[..., None].astype(cd)
 
     def _pin(self, a: Array) -> Array:

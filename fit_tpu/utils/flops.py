@@ -73,6 +73,7 @@ def fit_forward_flops(
     ffn: str = "swiglu",
     moe_experts: int = 8,
     moe_capacity: float = 1.25,
+    moe_dispatch: str = "einsum",
 ) -> FitFlops:
     """Matmul FLOPs of one FiT forward at sequence length ``t``.
 
@@ -85,8 +86,11 @@ def fit_forward_flops(
     ``ffn="moe"`` accounts the Switch top-1 MoE FFN (``models/moe.py``):
     the expert matmuls run over ``E * C`` capacity slots instead of ``t``
     tokens (``C = ceil(t/E * moe_capacity)``, so ~``moe_capacity`` x the
-    dense SwiGLU FFN work at top-1), and the einsum dispatch/combine
-    contractions plus the router land in the ``dispatch`` component.
+    dense SwiGLU FFN work at top-1), and the router plus — for
+    ``moe_dispatch="einsum"`` — the one-hot dispatch/combine contractions
+    land in the ``dispatch`` component. ``moe_dispatch="sort"`` moves tokens
+    with argsort + gathers instead: no dispatch MACs at all (sort/gather are
+    not matmul work), so only the router remains.
     """
     import math
 
@@ -103,10 +107,10 @@ def fit_forward_flops(
     if ffn == "moe":
         slots = moe_experts * max(1, math.ceil(t / moe_experts * moe_capacity))
         ffn_flops = depth * slots * per_token_ffn  # stacked-expert matmuls
-        dispatch = depth * (
-            2 * 2 * t * slots * d  # dispatch + combine einsums (T-contraction)
-            + 2 * t * d * moe_experts  # router logits
-        )
+        dispatch = depth * 2 * t * d * moe_experts  # router logits
+        if moe_dispatch == "einsum":
+            # dispatch + combine einsums (T-contraction over E*C slots)
+            dispatch += depth * 2 * 2 * t * slots * d
     else:
         ffn_flops = depth * t * per_token_ffn
     dense = depth * t * per_token_proj + ffn_flops

@@ -111,3 +111,19 @@ def test_peak_tables_are_consistent():
 def test_peak_flops_env_override(monkeypatch):
     monkeypatch.setenv("FIT_TPU_PEAK_FLOPS", "1e12")
     assert peak_flops("TPU v5e") == 1e12
+
+
+def test_moe_sort_dispatch_flops():
+    """dispatch='sort' moves tokens by argsort+gather — zero dispatch MACs;
+    only the router's logits remain in the dispatch component."""
+    einsum = fit_forward_flops(
+        768, 12, 12, t=256, ffn="moe", moe_experts=8, moe_dispatch="einsum"
+    )
+    sort = fit_forward_flops(
+        768, 12, 12, t=256, ffn="moe", moe_experts=8, moe_dispatch="sort"
+    )
+    assert sort.dense == pytest.approx(einsum.dense)
+    router = 12 * 2 * 256 * 768 * 8
+    assert sort.dispatch == pytest.approx(router)
+    assert einsum.dispatch > 20 * sort.dispatch  # the eliminated MAC volume
+    assert sort.total == pytest.approx(einsum.total - (einsum.dispatch - router))

@@ -474,3 +474,58 @@ def test_aux_loss_rebalances_collapsed_router():
     # router off expert 0
     control = run(aux_weight=1e-6, steps=30)
     assert control[-1] > 0.7 * e, f"control unexpectedly rebalanced: {control[-1]}"
+
+
+def test_sort_dispatch_bit_identical():
+    """dispatch='sort' (argsort + row gathers) must reproduce the GShard
+    einsum dispatch EXACTLY: the einsum combine sums E*C terms of which one
+    is nonzero per token, so a gather computes the same value bit-for-bit —
+    outputs, sown aux, and gradients, in fp32 and bf16. (This holds on the
+    CPU mesh and at fp32-highest on the real TPU; at bf16 matmul precision
+    on the TPU the expert matmuls tile differently around the two dispatch
+    forms and agree to ~2 ulps — routing is still identical.)"""
+    B, T, D, E, H = 3, 64, 32, 4, 48
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D), jnp.float32)
+    mask = jnp.asarray(np.random.RandomState(1).rand(B, T) > 0.2)
+
+    m_e = MoeSwiGLU(E, H, D, dispatch="einsum")
+    m_s = MoeSwiGLU(E, H, D, dispatch="sort")
+    params = m_e.init({"params": jax.random.PRNGKey(2)}, x, mask)
+    ye, aux_e = m_e.apply(params, x, mask, mutable=["moe_aux"])
+    ys, aux_s = m_s.apply(params, x, mask, mutable=["moe_aux"])
+    assert (ye == ys).all()
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: (a == b).all(), aux_e, aux_s)
+    )
+
+    def loss(p, mod, xx):
+        y, _ = mod.apply(p, xx, mask, mutable=["moe_aux"])
+        return jnp.sum(y**2)
+
+    ge = jax.grad(loss)(params, m_e, x)
+    gs = jax.grad(loss)(params, m_s, x)
+    assert jax.tree.all(jax.tree.map(lambda a, b: (a == b).all(), ge, gs))
+    gxe = jax.grad(lambda xx: loss(params, m_e, xx))(x)
+    gxs = jax.grad(lambda xx: loss(params, m_s, xx))(x)
+    assert (gxe == gxs).all()
+
+    # bf16 compute dtype (the training configuration)
+    for cls in (None,):
+        y16e, _ = MoeSwiGLU(E, H, D, dispatch="einsum", dtype=jnp.bfloat16).apply(
+            params, x, mask, mutable=["moe_aux"]
+        )
+        y16s, _ = MoeSwiGLU(E, H, D, dispatch="sort", dtype=jnp.bfloat16).apply(
+            params, x, mask, mutable=["moe_aux"]
+        )
+        assert (y16e == y16s).all()
+
+
+def test_sort_dispatch_rejects_expert_parallel():
+    """sort gathers index the local token axis — no EP lowering; asking for
+    sort + an expert mesh must fail loudly, and 'auto' must pick einsum."""
+    mesh = make_mesh(ep=2)
+    B, T, D = 2, 16, 8
+    x = jnp.zeros((B, T, D))
+    m = MoeSwiGLU(2, 16, D, dispatch="sort", ep_mesh=mesh)
+    with pytest.raises(ValueError, match="expert-parallel"):
+        m.init({"params": jax.random.PRNGKey(0)}, x, jnp.ones((B, T), bool))
